@@ -1,0 +1,250 @@
+"""Grok-style pattern dictionary compiled to regexes (SURVEY.md §2.2 U1).
+
+The reference's docs always pair the aggregate filter with a grok parse
+(``docs/index.asciidoc:50-52``: ``%{LOGLEVEL:loglevel} - %{NOTSPACE:taskid}
+- %{NOTSPACE:logger} - %{WORD:label}( - %{INT:duration:int})?``). Here a
+grok expression compiles to a plain regex with named captures and typed
+casts, applied either:
+
+- ``backend="jvm"`` (default): one ``F.regexp_extract`` per capture —
+  stays inside whole-stage codegen, no Python in the hot path at all; or
+- ``backend="pandas"``: a single Arrow-vectorized pandas UDF doing
+  ``Series.str.extract`` once per pattern — one pass over the text, used
+  when Python-only regex features are needed.
+
+Both produce identical columns; tests assert equivalence. Rows matching
+no pattern get a ``_grokparsefailure`` tag (logstash grok convention)
+and NULL captures — they flow through un-extracted (FIXTURES.md
+"freeform" kind).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Base pattern dictionary — the subset of the public grok core patterns
+# the reference docs use, defined from scratch as plain regexes.
+BASE_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "POSINT": r"\d+",
+    "LOGLEVEL": r"(?:ALERT|TRACE|DEBUG|NOTICE|INFO|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "int": T.LongType(),
+    "long": T.LongType(),
+    "float": T.DoubleType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+
+@dataclass(frozen=True)
+class CompiledGrok:
+    """A grok expression compiled to one regex with ordered named captures.
+
+    Group names inside ``regex`` are sanitized to ``[A-Za-z][A-Za-z0-9]*``
+    (Java named-group rules, stricter than Python's); ``alias`` maps the
+    sanitized name back to the user's capture name.
+    """
+
+    name: str
+    regex: str                      # named-group regex (valid for both Java and Python)
+    captures: tuple[str, ...]       # capture names in group order
+    types: dict[str, T.DataType]    # capture -> Spark type
+    group_index: dict[str, int]     # capture -> 1-based regex group index
+    alias: dict[str, str]           # sanitized group name -> capture name
+
+
+def compile_grok(name: str, pattern: str, anchored: bool = True) -> CompiledGrok:
+    """Expand ``%{SYNTAX:semantic:type}`` references into named groups.
+
+    Unnamed references (``%{LOGLEVEL}``) expand to non-capturing groups.
+    Literal text between references is regex-escaped only if it is not
+    already regex (we treat the pattern text outside ``%{}`` as regex,
+    matching grok semantics — e.g. ``( - %{INT:duration:int})?``).
+    """
+    captures: list[str] = []
+    types: dict[str, T.DataType] = {}
+    alias: dict[str, str] = {}
+
+    def _sanitize(semantic: str) -> str:
+        # Java group names must be [A-Za-z][A-Za-z0-9]* (no underscore).
+        s = re.sub(r"[^A-Za-z0-9]", "", semantic) or "g"
+        if not s[0].isalpha():
+            s = "g" + s
+        base_s = s
+        i = 0
+        while s in alias:
+            i += 1
+            s = f"{base_s}{i}"
+        return s
+
+    def _sub(m: re.Match[str]) -> str:
+        syntax, semantic, typ = m.group(1), m.group(2), m.group(3)
+        base = BASE_PATTERNS.get(syntax)
+        if base is None:
+            raise KeyError(f"unknown grok base pattern %{{{syntax}}}")
+        if semantic is None:
+            return f"(?:{base})"
+        if semantic in types:
+            raise ValueError(f"duplicate capture name {semantic!r} in grok {name!r}")
+        captures.append(semantic)
+        types[semantic] = _TYPE_MAP.get(typ or "string", T.StringType())
+        g = _sanitize(semantic)
+        alias[g] = semantic
+        return f"(?<{g}>{base})"
+
+    regex = _GROK_REF.sub(_sub, pattern)
+    if anchored:
+        regex = f"^{regex}$"
+    # Group indexes: count '(' that open capturing groups, in order. Our
+    # generated regex only has named captures and (?:...) groups from the
+    # dictionary, plus whatever capturing groups the user wrote literally.
+    group_index: dict[str, int] = {}
+    idx = 0
+    for m in re.finditer(r"\((?!\?[:=!])(?:\?<(\w+)>)?", regex):
+        idx += 1
+        if m.group(1):
+            group_index[alias[m.group(1)]] = idx
+    return CompiledGrok(
+        name=name, regex=regex, captures=tuple(captures), types=types,
+        group_index=group_index, alias=alias,
+    )
+
+
+def _cast(col: Column, dtype: T.DataType) -> Column:
+    return col.cast(dtype) if not isinstance(dtype, T.StringType) else col
+
+
+def apply_grok_jvm(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> DataFrame:
+    """First-match-wins over the pattern list; all captures become columns.
+
+    JVM-side ``regexp_extract`` / ``rlike`` — pushed through whole-stage
+    codegen, zero Python. ``regexp_extract`` returns '' on no-match, so
+    captures are gated behind an ``rlike`` match flag to yield true NULLs
+    (and so empty optional groups stay NULL rather than '').
+    """
+    text = F.col(text_col)
+    match_flags = [text.rlike(g.regex).alias(f"_m_{g.name}") for g in groks]
+    df = df.select("*", *match_flags)
+
+    all_caps: dict[str, T.DataType] = {}
+    for g in groks:
+        for c in g.captures:
+            prev = all_caps.get(c)
+            if prev is not None and prev != g.types[c]:
+                raise ValueError(f"capture {c!r} has conflicting types across patterns")
+            all_caps.setdefault(c, g.types[c])
+
+    cap_cols: list[Column] = []
+    for cap, dtype in all_caps.items():
+        expr: Column = F.lit(None).cast(dtype)
+        # reversed: earlier patterns win (grok break_on_match)
+        for g in reversed(groks):
+            if cap not in g.captures:
+                continue
+            raw = F.regexp_extract(text, g.regex, g.group_index[cap])
+            val = _cast(F.nullif(raw, F.lit("")), dtype)
+            expr = F.when(F.col(f"_m_{g.name}"), val).otherwise(expr)
+        cap_cols.append(expr.alias(cap))
+
+    matched_name = F.lit(None).cast(T.StringType())
+    for g in reversed(groks):
+        matched_name = F.when(F.col(f"_m_{g.name}"), F.lit(g.name)).otherwise(matched_name)
+
+    out = df.select(
+        *[c for c in df.columns if not c.startswith("_m_")],
+        *cap_cols,
+        matched_name.alias("grok_pattern"),
+        F.when(matched_name.isNull(), F.array(F.lit("_grokparsefailure")))
+        .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+        .alias("parse_tags"),
+    )
+    return out
+
+
+def apply_grok_pandas(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> DataFrame:
+    """Same semantics via one Arrow-vectorized pandas UDF returning a
+    struct of all captures + matched pattern name — a single pass over
+    the text per pattern (``Series.str.extract``), never per-row Python.
+    """
+    all_caps: dict[str, T.DataType] = {}
+    for g in groks:
+        for c in g.captures:
+            all_caps.setdefault(c, g.types[c])
+    fields = [T.StructField(c, dt, True) for c, dt in all_caps.items()]
+    fields.append(T.StructField("grok_pattern", T.StringType(), True))
+    out_type = T.StructType(fields)
+    # pre-serialize for closure capture
+    # Java uses (?<name>...), Python (?P<name>...) — translate (leaving
+    # lookbehinds (?<= / (?<! untouched).
+    compiled = [
+        (g.name, re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", g.regex), list(g.captures),
+         dict(g.alias), {c: all_caps[c].simpleString() for c in g.captures})
+        for g in groks
+    ]
+
+    @pandas_udf(out_type)
+    def grok_extract(texts: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(index=texts.index)
+        for cap in all_caps:
+            out[cap] = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        out["grok_pattern"] = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+        unmatched = pd.Series(True, index=texts.index)
+        for name, rx, caps, alias_map, cap_types in compiled:
+            if not unmatched.any():
+                break
+            sub = texts[unmatched]
+            hit = sub.str.match(rx, na=False)
+            hit_idx = sub.index[hit]
+            ext = sub.str.extract(rx, expand=True).rename(columns=alias_map) if caps else None
+            for cap in caps:
+                vals = ext.loc[hit_idx, cap]
+                tname = cap_types[cap]
+                if tname in ("bigint", "int"):
+                    vals = pd.to_numeric(vals, errors="coerce").astype("Int64")
+                elif tname == "double":
+                    vals = pd.to_numeric(vals, errors="coerce")
+                out.loc[hit_idx, cap] = vals
+            out.loc[hit_idx, "grok_pattern"] = name
+            unmatched.loc[hit_idx] = False
+        # normalize numeric dtypes for Arrow
+        for cap, dt in all_caps.items():
+            if isinstance(dt, T.LongType):
+                out[cap] = pd.to_numeric(out[cap], errors="coerce").astype("Int64")
+            elif isinstance(dt, T.DoubleType):
+                out[cap] = pd.to_numeric(out[cap], errors="coerce").astype("float64")
+        return out
+
+    struct = grok_extract(F.col(text_col)).alias("_grok")
+    df = df.select("*", struct)
+    caps = [F.col(f"_grok.{c}").alias(c) for c in all_caps]
+    out = df.select(
+        *[c for c in df.columns if c != "_grok"],
+        *caps,
+        F.col("_grok.grok_pattern").alias("grok_pattern"),
+        F.when(F.col("_grok.grok_pattern").isNull(), F.array(F.lit("_grokparsefailure")))
+        .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+        .alias("parse_tags"),
+    )
+    return out
