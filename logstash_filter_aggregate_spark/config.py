@@ -45,11 +45,17 @@ AGG_FNS = frozenset(
 class AggSpec:
     """One entry of a rule's aggregation map: ``name`` is the output map
     key (column), ``fn`` an AGG_FNS member, ``col`` a SQL expression over
-    the parsed row (ignored for ``count``)."""
+    the parsed row (ignored for ``count``). ``required=True`` marks inputs
+    the reference's code would crash on when missing (``map['x'] +=
+    event.get('f')`` with nil, ``aggregate.rb:229-237``): a matched row
+    with a NULL required input is tagged ``_aggregateexception`` in the
+    passthrough stream (O19) — and contributes nothing, which is what the
+    reference's aborted codeblock does too."""
 
     name: str
     fn: str
     col: str | None = None
+    required: bool = False
 
     def __post_init__(self) -> None:
         if self.fn not in AGG_FNS:

@@ -1,0 +1,284 @@
+"""Map-action guards, the aggregation dictionary, and session routing
+(SURVEY.md O3, O4-O7, O13-O15, O19, O20).
+
+One ``groupBy`` over the session key ``(_task_id, _end_seg, _gap_seg,
+_age_seg)`` replaces the reference's per-event map mutation
+(``aggregate.rb:199-246``): Catalyst runs it partial+final, so the
+"map" never lives on one node. Routing then classifies each session by
+how its map died — ``end_of_task`` deletion (``aggregate.rb:240``),
+expiry (``aggregate.rb:396-398,420-445``), immediate ``map_meta.timeout=0``
+eviction (``aggregate.rb:259-274``) — or didn't (still live at
+end-of-input, the shutdown-persistence analog ``aggregate.rb:154-175``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from logstash_filter_aggregate_spark.config import (
+    ORDER_COL,
+    TASK_ID_COL,
+    AggSpec,
+    ConfigurationError,
+    CorrelationRule,
+    PipelineConfig,
+)
+
+SESSION_KEY = [TASK_ID_COL, "_end_seg", "_gap_seg", "_age_seg"]
+META_COLS = {
+    "pattern_id", "task_id", "conv_id", "creation_ts", "lastevent_ts",
+    "nevents", "close_kind", "end_ts", "end_turn_idx", "tags",
+}
+
+
+def apply_guards(sessions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """``map_action`` semantics (O3, ``aggregate.rb:202-217``):
+
+    - the map is created by the first row in the session whose action can
+      create (``create`` / ``create_or_update``);
+    - ``update`` rows before creation are no-ops (``spec:72-84``);
+    - ``create`` rows after creation are no-ops — duplicate start keeps
+      the first map (``spec:52-68``);
+    - sessions with no creating row never materialize a map at all.
+    """
+    w = W.partitionBy(*SESSION_KEY)
+    can_create = F.col("_action") != "update"
+    creator_ord = F.min(F.when(can_create, F.col(ORDER_COL))).over(w)
+    included = (
+        creator_ord.isNotNull()
+        & (F.col(ORDER_COL) >= creator_ord)
+        & ~((F.col("_action") == "create") & (F.col(ORDER_COL) > creator_ord))
+    )
+    return sessions.withColumn("_included", included)
+
+
+def _merged_agg_specs(cfg: PipelineConfig) -> dict[str, tuple[str, list[tuple[str, str]]]]:
+    """Map keys are shared across filter blocks in the reference (example
+    #1: start inits ``sql_duration``, update accumulates into it) — merge
+    same-named AggSpecs across rules; the fn must agree."""
+    merged: dict[str, tuple[str, list[tuple[str, str]]]] = {}
+    for r in cfg.rules:
+        for s in r.aggs:
+            if s.name in META_COLS or s.name in SESSION_KEY:
+                raise ConfigurationError(f"agg name {s.name!r} collides with a reserved column")
+            fn, sources = merged.setdefault(s.name, (s.fn, []))
+            if fn != s.fn:
+                raise ConfigurationError(
+                    f"agg {s.name!r} uses fn {s.fn!r} in rule {r.rule_id!r} but {fn!r} elsewhere"
+                )
+            sources.append((r.rule_id, s.col or "1"))
+    return merged
+
+
+def _value_expr(sources: list[tuple[str, str]]) -> Column:
+    expr: Column = F.lit(None)
+    for rid, col in sources:
+        expr = F.when(F.col("_rule_id") == rid, F.expr(col)).otherwise(expr)
+    return expr
+
+
+def _agg_column(name: str, fn: str, sources: list[tuple[str, str]]) -> Column:
+    """The aggregation dictionary (O6) — every entry a Catalyst built-in
+    with map-side partial aggregation. Order-sensitive fns (`first`,
+    `last`, `collect_list`) ride on ``_ord`` via struct min/max /
+    sort_array, so results are independent of partitioning (the departure
+    from the reference's arrival-order ``-w 1`` mode)."""
+    val = _value_expr(sources)
+    inc = F.col("_included")
+    val = F.when(inc, val)
+    rule_match = F.when(inc & F.col("_rule_id").isin([r for r, _ in sources]), 1)
+    if fn == "sum":
+        return F.sum(val).alias(name)
+    if fn == "count":
+        return F.count(rule_match).alias(name)
+    if fn == "min":
+        return F.min(val).alias(name)
+    if fn == "max":
+        return F.max(val).alias(name)
+    if fn == "avg":
+        return F.avg(val).alias(name)
+    if fn == "first":
+        # ||= first non-null in turn order (docs/index.asciidoc:136)
+        return F.min(
+            F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
+        )["v"].alias(name)
+    if fn == "last":
+        return F.max(
+            F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
+        )["v"].alias(name)
+    if fn == "collect_list":
+        # map['towns'] << {...} in arrival order (docs/index.asciidoc:231-233)
+        return F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
+                )
+            ),
+            lambda x: x["v"],
+        ).alias(name)
+    if fn == "collect_set":
+        return F.collect_set(val).alias(name)
+    raise ConfigurationError(f"unhandled agg fn {fn!r}")
+
+
+def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """One row per task-instance map: aggregation values + ``map_meta``
+    (creation/lastevent timestamps, ``aggregate.rb:521-535``) + how the
+    session closed."""
+    merged = _merged_agg_specs(cfg)
+    inc = F.col("_included")
+    ord_c = F.col(ORDER_COL)
+
+    aggs = [
+        F.min(F.when(inc, F.col("ts"))).alias("creation_ts"),        # O4 aggregate.rb:525-528
+        F.max(F.when(inc, F.col("ts"))).alias("lastevent_ts"),       # O5 aggregate.rb:220-221
+        F.count(F.when(inc, 1)).alias("nevents"),
+        F.min(F.when(inc, F.struct(ord_c.alias("o"), F.col("conv_id").alias("v"))))["v"].alias("conv_id"),
+        # the close row is by construction the last row of its segment
+        F.max(
+            F.when(
+                inc & (F.col("_close_flag") == 1),
+                F.when(F.col("_end_flag") == 1, F.lit("end")).otherwise(F.lit("custom0")),
+            )
+        ).alias("close_kind"),
+        F.max(F.when(inc & (F.col("_close_flag") == 1), F.col("ts"))).alias("end_ts"),
+        F.max(F.when(inc & (F.col("_close_flag") == 1), F.col("turn_idx"))).alias("end_turn_idx"),
+        # last-set per-map override wins (aggregate.rb:243-246)
+        F.max(
+            F.when(inc & (F.col("_custom_timeout") > 0), F.struct(ord_c.alias("o"), F.col("_custom_timeout").alias("v")))
+        )["v"].alias("_session_timeout"),
+        F.max(
+            F.when(inc & (F.col("_custom_inactivity") > 0), F.struct(ord_c.alias("o"), F.col("_custom_inactivity").alias("v")))
+        )["v"].alias("_session_inactivity"),
+        *[_agg_column(n, fn, srcs) for n, (fn, srcs) in merged.items()],
+    ]
+    out = (
+        guarded.groupBy(*SESSION_KEY)
+        .agg(*aggs)
+        .where(F.col("nevents") > 0)  # sessions with no creating row never made a map
+        .withColumn("pattern_id", F.lit(cfg.pattern_id))
+        .withColumnRenamed(TASK_ID_COL, "task_id")
+    )
+    return out
+
+
+@dataclass
+class RoutedSessions:
+    """The fan-out buckets (SURVEY.md U5; FIXTURES.md sinks)."""
+
+    completed: DataFrame   # end_of_task-closed maps, end-row-enriched (O7/O8)
+    timeout: DataFrame     # expired maps pushed as timeout events (O9-O15)
+    inline: DataFrame      # map_meta.timeout=0 immediate evictions (O17)
+    open: DataFrame        # maps still live at end-of-input (persistence analog O21)
+    sessions: DataFrame    # every materialized map, with close_reason
+
+
+def route_sessions(sessions: DataFrame, cfg: PipelineConfig) -> RoutedSessions:
+    """Classify each map by how it died.
+
+    Expiry is event-time (the reference's only deterministic mode,
+    ``spec:374-390``): a non-last session of a task was by construction
+    expired by the arrival of the task's next event
+    (``aggregate.rb:420-445``); the last session is checked against the
+    end-of-input watermark ``max(lastevent_ts)`` — expired maps would
+    have been pushed by the periodic flush (``aggregate.rb:386-416``),
+    live maps survive to shutdown (``aggregate.rb:154-175``).
+    """
+    w_task = W.partitionBy("pattern_id", "task_id")
+    seg = F.struct("_end_seg", "_gap_seg", "_age_seg")
+    is_last = (F.max(seg).over(w_task) == seg).cast("boolean")
+    sessions = sessions.withColumn("_is_last", is_last)
+
+    wm = sessions.agg(F.max("lastevent_ts").alias("_watermark"))
+    sessions = sessions.crossJoin(F.broadcast(wm))
+
+    eff_timeout = F.coalesce(F.col("_session_timeout"), F.lit(float(cfg.timeout)))
+    eff_inact = F.coalesce(
+        F.col("_session_inactivity"), F.lit(float(cfg.effective_inactivity_timeout))
+    )
+    wm_s = F.unix_timestamp("_watermark").cast("double")
+    age_expired = wm_s - F.unix_timestamp("creation_ts").cast("double") > eff_timeout
+    gap_expired = wm_s - F.unix_timestamp("lastevent_ts").cast("double") > eff_inact
+
+    reason = (
+        F.when(F.col("close_kind") == "end", F.lit("completed"))
+        .when(F.col("close_kind") == "custom0", F.lit("inline"))
+        .when(~F.col("_is_last"), F.lit("timeout"))          # expired on next arrival
+        .when(age_expired | gap_expired, F.lit("timeout"))   # expired vs watermark
+        .otherwise(F.lit("open"))
+    )
+    sessions = sessions.withColumn("close_reason", reason)
+
+    drop = ["_end_seg", "_gap_seg", "_age_seg", "_is_last", "_watermark",
+            "_session_timeout", "_session_inactivity", "close_kind"]
+
+    completed = sessions.where(F.col("close_reason") == "completed").drop(*drop)
+
+    if cfg.push_previous_map_as_event:
+        # O16 (aggregate.rb:205-208,314-320,341-344): with ≤1 live map
+        # (guaranteed by the pop-on-creation discipline), every
+        # non-completed map is pushed via create_timeout_event — by the
+        # next map creation (pop), by same-task expiry-on-arrival, or at
+        # final flush; only the globally last-created map gets the
+        # shutdown tag (aggregate.rb:348-351, O20).
+        pushed = sessions.where(F.col("close_reason").isin("timeout", "open"))
+        w_all = W.partitionBy("pattern_id")
+        glast = F.max(F.struct("creation_ts", "task_id")).over(w_all)
+        pushed = pushed.withColumn(
+            "_g_last", glast == F.struct("creation_ts", "task_id")
+        )
+        timeout = _timeout_event(pushed, cfg, final_col="_g_last").drop(*drop, "_g_last")
+        inline_rows = sessions.where(F.col("close_reason") == "inline")
+        inline = _timeout_event(inline_rows, cfg, final_col=None).drop(*drop)
+        open_maps = sessions.where(F.lit(False)).drop(*drop)
+        return RoutedSessions(
+            completed=completed, timeout=timeout, inline=inline,
+            open=open_maps, sessions=sessions.drop(*drop),
+        )
+
+    timeout_rows = sessions.where(F.col("close_reason") == "timeout")
+    inline_rows = sessions.where(F.col("close_reason") == "inline")
+    if cfg.push_map_as_event_on_timeout:
+        timeout = _timeout_event(timeout_rows, cfg, final_col=None).drop(*drop)
+        inline = _timeout_event(inline_rows, cfg, final_col=None).drop(*drop)
+    else:
+        # without push, expired maps are silently discarded
+        # (aggregate.rb:399-400 only collects events when configured)
+        timeout = timeout_rows.limit(0).drop(*drop)
+        inline = inline_rows.limit(0).drop(*drop)
+
+    open_maps = sessions.where(F.col("close_reason") == "open").drop(*drop)
+    return RoutedSessions(
+        completed=completed,
+        timeout=timeout,
+        inline=inline,
+        open=open_maps,
+        sessions=sessions.drop(*drop),
+    )
+
+
+def _timeout_event(df: DataFrame, cfg: PipelineConfig, final_col: str | None) -> DataFrame:
+    """Timeout-event construction (O13/O14, ``aggregate.rb:281-311``):
+    the event is built from the map alone; ``timeout_task_id_field``
+    receives the task id, ``timeout_tags`` are appended, ``timeout_code``
+    runs as plain column expressions. Rows where ``final_col`` is true
+    additionally get ``_aggregatefinalflush`` (``aggregate.rb:348-351``)."""
+    if cfg.timeout_task_id_field:
+        df = df.withColumn(cfg.timeout_task_id_field, F.col("task_id"))
+    base = (
+        F.array(*[F.lit(t) for t in cfg.timeout_tags])
+        if cfg.timeout_tags
+        else F.array().cast("array<string>")
+    )
+    tags = base
+    if final_col is not None:
+        tags = F.when(
+            F.col(final_col), F.array_union(base, F.array(F.lit("_aggregatefinalflush")))
+        ).otherwise(base)
+    df = df.withColumn("tags", tags)
+    for name, expr in (cfg.timeout_code or {}).items():
+        df = df.withColumn(name, F.expr(expr))
+    return df

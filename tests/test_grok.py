@@ -1,0 +1,68 @@
+"""Grok compilation + parse backends (U1; docs/index.asciidoc:50-52,165)."""
+
+import pandas as pd
+import pytest
+
+from logstash_filter_aggregate_spark.functions.grok import (
+    apply_grok_jvm,
+    apply_grok_pandas,
+    compile_grok,
+)
+from logstash_filter_aggregate_spark.plans.pipeline import DEFAULT_GROKS, compile_groks
+from tests.conftest import make_transcript
+
+TASK_PATTERN = r"%{LOGLEVEL:loglevel} - %{NOTSPACE:taskid} - %{NOTSPACE:logger} - %{WORD:label}( - %{INT:duration:int})?"
+
+
+def test_compile_typed_and_optional_captures():
+    g = compile_grok("task", TASK_PATTERN)
+    assert g.captures == ("loglevel", "taskid", "logger", "label", "duration")
+    assert g.types["duration"].simpleString() == "bigint"
+    # optional literal group shifts indices: duration is group 6 not 5
+    assert g.group_index["duration"] == 6
+
+
+def test_unknown_base_pattern():
+    with pytest.raises(KeyError):
+        compile_grok("bad", "%{NOPE:x}")
+
+
+def test_duplicate_capture():
+    with pytest.raises(ValueError, match="duplicate"):
+        compile_grok("dup", "%{WORD:a} %{WORD:a}")
+
+
+ROWS = [
+    (0, "INFO - 12345 - TASK_START - start", 0),
+    (1, "INFO - 12345 - SQL - sqlQuery1 - 12", 1),
+    (2, "INFO - 12345 - Clicked One", 2),
+    (3, "ERROR - 12345 - TOOL - http - E503", 3),
+    (4, "freeform chatter", 4),
+]
+
+
+@pytest.mark.parametrize("backend", ["jvm", "pandas"])
+def test_parse_captures(spark, backend):
+    df = make_transcript(spark, ROWS)
+    groks = compile_groks()
+    fn = apply_grok_jvm if backend == "jvm" else apply_grok_pandas
+    out = {r.turn_idx: r for r in fn(df, "text", groks).collect()}
+    assert out[0].logger == "TASK_START" and out[0].duration is None
+    assert out[1].duration == 12 and out[1].grok_pattern == "task"
+    assert out[2].click_target == "One" and out[2].grok_pattern == "click"
+    assert out[3].err_code == 503 and out[3].err_tool == "http"
+    assert out[4].grok_pattern is None and out[4].parse_tags == ["_grokparsefailure"]
+
+
+def test_backends_agree(spark):
+    df = make_transcript(spark, ROWS)
+    groks = compile_groks()
+    a = apply_grok_jvm(df, "text", groks).orderBy("turn_idx").toPandas()
+    b = apply_grok_pandas(df, "text", groks).orderBy("turn_idx").toPandas()[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_default_dictionary_order_specific_first():
+    names = [n for n, _ in DEFAULT_GROKS]
+    assert names.index("click") < names.index("task")
+    assert names.index("error") < names.index("task")

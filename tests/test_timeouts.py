@@ -1,0 +1,155 @@
+"""Timeout semantics: event-time expiry, inactivity gap, age cap, custom
+per-map timeouts, timeout-event construction (O9-O15, O17; spec:153-266,
+374-421)."""
+
+import pytest
+
+from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+from logstash_filter_aggregate_spark.plans.pipeline import (
+    example3_config,
+    example5_config,
+    run_pipeline,
+)
+from tests.conftest import T0, make_transcript
+import datetime as dt
+
+
+def test_event_time_expiry_and_timestamp_inheritance(spark):
+    # spec:374-390 — third event after gap > timeout pushes the map of the
+    # first two and creates a fresh map inheriting the third's timestamp
+    cfg = example3_config(timeout=120.0, timeout_task_id_field=None, timeout_code=None)
+    rows = [
+        (0, "INFO - 12345 - Clicked One", 0),
+        (1, "INFO - 12345 - Clicked Two", 2),
+        (2, "INFO - 12345 - Clicked Three", 300),
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = out.timeout.collect()
+    assert len(pushed) == 1 and pushed[0].clicks == 2
+    open_ = out.open.collect()
+    assert len(open_) == 1 and open_[0].clicks == 1
+    assert open_[0].creation_ts == T0 + dt.timedelta(seconds=300)
+
+
+def test_timeout_event_fields(spark):
+    # spec:197-206 / docs example #3: timeout_task_id_field, timeout_tags,
+    # timeout_code on the pushed event (O13/O14)
+    cfg = example3_config(timeout=60.0)
+    rows = [
+        (0, "INFO - u1 - Clicked One", 0),
+        (1, "INFO - u1 - Clicked Two", 1),
+        # unrelated much-later event advances the watermark past expiry
+        (2, "INFO - u2 - Clicked One", 10_000),
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = {r.task_id: r for r in out.timeout.collect()}
+    assert set(pushed) == {"u1"}
+    r = pushed["u1"]
+    assert r.clicks == 2 and r.user_id == "u1"
+    assert r.several_clicks is True
+    assert r.tags == ["_aggregatetimeout"]
+    # u2 is still live at end-of-input → open, not pushed (aggregate.rb:396-398)
+    assert [o.task_id for o in out.open.collect()] == ["u2"]
+
+
+def test_no_push_means_silent_eviction(spark):
+    cfg = example3_config(push_map_as_event_on_timeout=False)
+    rows = [
+        (0, "INFO - u1 - Clicked One", 0),
+        (1, "INFO - u2 - Clicked One", 100_000),
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    assert out.timeout.count() == 0
+    assert out.sessions.where("close_reason = 'timeout'").count() == 1
+
+
+def test_inactivity_gap_split(spark):
+    # spec:219-265 inactivity matrix: gap > inactivity_timeout expires the
+    # map even though age < timeout
+    cfg = example5_config(timeout=600.0, inactivity_timeout=120.0)
+    rows = [
+        (0, "INFO - t - SQL - q - 1", 0),
+        (1, "INFO - t - SQL - q - 2", 60),     # gap 60 ok
+        (2, "INFO - t - SQL - q - 4", 300),    # gap 240 > 120 → new map
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = out.timeout.collect()
+    assert len(pushed) == 1 and pushed[0].total_duration == 3
+    assert out.open.collect()[0].total_duration == 4
+
+
+def test_age_cap_splits_with_small_gaps(spark):
+    # docs example #5: steady activity, gaps < inactivity, age > timeout
+    cfg = example5_config(timeout=600.0, inactivity_timeout=300.0)
+    rows = [(i, f"INFO - t - SQL - q - {i + 1}", i * 200) for i in range(6)]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    sess = sorted(
+        out.sessions.select("creation_ts", "total_duration", "queries").collect(),
+        key=lambda r: r.creation_ts,
+    )
+    # rows at +0..+600 (ages 0,200,400,600: 600 is NOT > 600) then split
+    assert [s.queries for s in sess] == [4, 2]
+    assert [s.total_duration for s in sess] == [10, 11]
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_age_cap_exact_mode_matches_window_mode(spark, exact):
+    cfg = example5_config(timeout=600.0, inactivity_timeout=300.0, exact_age_cap=exact)
+    rows = [(i, f"INFO - t - SQL - q - {i + 1}", i * 200) for i in range(6)]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    assert sorted(r.queries for r in out.sessions.collect()) == [2, 4]
+
+
+def test_age_cap_three_generations_exact(spark):
+    # 3 age-splits exceed the 2-pass window approximation → exact mode
+    cfg = example5_config(timeout=600.0, inactivity_timeout=600.0, exact_age_cap=True)
+    rows = [(i, f"INFO - t - SQL - q - 1", i * 400) for i in range(7)]
+    # ts: 0,400,800,1200,1600,2000,2400 — sessions {0,400},{800,1200},{1600,2000},{2400}
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    assert sorted(r.queries for r in out.sessions.collect()) == [1, 2, 2, 2]
+
+
+def test_custom_timeout_zero_immediate_eviction(spark):
+    # spec:392-409 — map_meta.timeout=0 evicts (and pushes) immediately
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "err", "err_code is not null",
+                aggs=(AggSpec("errors", "count"), AggSpec("last_code", "last", "err_code")),
+                custom_timeout="0",
+            ),
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),),
+            ),
+        ),
+        timeout=600.0,
+        push_map_as_event_on_timeout=True,
+    )
+    rows = [
+        (0, "INFO - t - Clicked One", 0),
+        (1, "ERROR - t - TOOL - http - E503", 1),
+        (2, "INFO - t - Clicked Two", 2),
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    inline = out.inline.collect()
+    assert len(inline) == 1
+    assert inline[0].errors == 1 and inline[0].clicks == 1 and inline[0].last_code == 503
+    # the map restarted after the eviction
+    assert [r.clicks for r in out.open.collect()] == [1]
+
+
+def test_custom_timeout_zero_without_push_is_silent(spark):
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("err", "err_code is not null",
+                            aggs=(AggSpec("errors", "count"),), custom_timeout="0"),
+        ),
+        timeout=600.0,
+    )
+    rows = [(0, "ERROR - t - TOOL - http - E503", 0)]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    assert out.inline.count() == 0
+    assert out.sessions.where("close_reason = 'inline'").count() == 1
