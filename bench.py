@@ -1,0 +1,141 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line
+{"metric", "value" (total sec), "unit": "sec", "queries": {...}, "sf", ...}.
+
+The headline is the full transcript pipeline (scan -> grok parse ->
+sessionize -> correlate -> route) over a materialized parquet transcript
+table generated deterministically at a size proportional to SF
+(3M turns at sf0.1), including one hot conversation (~3% of all turns)
+to exercise skew. Results are forced with the noop sink so timings
+measure compute, not driver collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from logstash_filter_aggregate_spark import get_spark  # noqa: E402
+from logstash_filter_aggregate_spark.operators import dedup, similarity, textstats  # noqa: E402
+from logstash_filter_aggregate_spark.plans.pipeline import (  # noqa: E402
+    example1_config,
+    example3_config,
+    run_pipeline,
+)
+from logstash_filter_aggregate_spark.sources.transcripts import (  # noqa: E402
+    events_as_transcripts,
+    generate_transcripts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", str(int(30_000_000 * SF))))
+CACHE_DIR = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/spark_graft_bench")
+
+
+def _noop(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _materialize_transcripts(spark) -> str:
+    """Generate-once, read-many: the bench measures the pipeline over a
+    parquet scan (the realistic shape), not the generator."""
+    path = f"{CACHE_DIR}/transcripts_{TURNS}.parquet"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        n_convs = max(1, TURNS // 8)          # ~7.2 turns per template conv
+        hot_turns = max(1, TURNS // 30)       # one hot conversation, ~3% of rows
+        df = generate_transcripts(
+            spark, n_convs=n_convs, hot_convs=1, hot_turns=hot_turns,
+            partitions=max(CPUS * 2, 16),
+        )
+        df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_queries(spark, transcripts_path: str):
+    t = spark.read.parquet(transcripts_path)
+
+    def q_pipeline_example1():
+        out = run_pipeline(spark, t, example1_config(timeout=3600.0))
+        _noop(out.sessions)
+
+    def q_pipeline_clicks_timeout():
+        out = run_pipeline(spark, t, example3_config(timeout=300.0))
+        _noop(out.timeout)
+
+    def q_pipeline_events_gap():
+        from __spark_entry__ import _pipe_gap_timeout
+        _noop(_pipe_gap_timeout(spark, SF_DIR))
+
+    def q_passthrough_route():
+        out = run_pipeline(spark, t, example1_config(timeout=3600.0))
+        _noop(out.passthrough)
+
+    def q_dedup_minhash():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _noop(dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=8))
+
+    def q_dedup_exact():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _noop(dedup.exact_dedup(docs))
+
+    def q_textstats():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        _noop(textstats.quality_features(docs).select(
+            "doc_id", "n_tokens", "punct_ratio", "quality_score",
+            textstats.lang_id("text").alias("lang_guess"),
+        ))
+
+    def q_ann_bruteforce():
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+        _noop(similarity.brute_force_topk(emb, qv, k=10))
+
+    return {
+        "pipeline_example1": q_pipeline_example1,
+        "pipeline_clicks_timeout": q_pipeline_clicks_timeout,
+        "pipeline_events_gap": q_pipeline_events_gap,
+        "passthrough_route": q_passthrough_route,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_exact": q_dedup_exact,
+        "textstats": q_textstats,
+        "ann_bruteforce": q_ann_bruteforce,
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    tpath = _materialize_transcripts(spark)
+    n_turns = spark.read.parquet(tpath).count()
+
+    queries = bench_queries(spark, tpath)
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    headline = timings["pipeline_example1"]
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "turns/sec parse→aggregate throughput (transcript pipeline) + routed sinks + dedup/ANN/textstats",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cpus": CPUS,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1) if headline > 0 else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -199,9 +199,9 @@ def route_sessions(sessions: DataFrame, cfg: PipelineConfig) -> RoutedSessions:
     eff_inact = F.coalesce(
         F.col("_session_inactivity"), F.lit(float(cfg.effective_inactivity_timeout))
     )
-    wm_s = F.col("_watermark").cast("double")
-    age_expired = wm_s - F.col("creation_ts").cast("double") > eff_timeout
-    gap_expired = wm_s - F.col("lastevent_ts").cast("double") > eff_inact
+    wm_s = F.col("_watermark").cast("timestamp").cast("double")
+    age_expired = wm_s - F.col("creation_ts").cast("timestamp").cast("double") > eff_timeout
+    gap_expired = wm_s - F.col("lastevent_ts").cast("timestamp").cast("double") > eff_inact
 
     reason = (
         F.when(F.col("close_kind") == "end", F.lit("completed"))

@@ -67,7 +67,7 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     inactivity = float(cfg.effective_inactivity_timeout)
     w_seg = W.partitionBy(TASK_ID_COL, "_end_seg").orderBy(*ORDER_BY)
-    ts_sec = F.col("ts").cast("double")  # microsecond-precise epoch seconds
+    ts_sec = F.col("ts").cast("timestamp").cast("double")  # microsecond-precise epoch seconds
     gap_flag = (
         ts_sec - F.lag(ts_sec).over(w_seg) > F.lit(inactivity)
     ).cast("int")
@@ -93,7 +93,7 @@ def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFr
     (``aggregate.rb:396``): a row at exactly ``creation + timeout`` does
     NOT expire the map."""
     timeout = float(cfg.timeout)
-    ts_sec = F.col("ts").cast("double")  # microsecond-precise epoch seconds
+    ts_sec = F.col("ts").cast("timestamp").cast("double")  # microsecond-precise epoch seconds
     part = part.withColumn("_age_seg", F.lit(0))
     for _ in range(passes):
         w_full = W.partitionBy(TASK_ID_COL, "_end_seg", "_gap_seg", "_age_seg")

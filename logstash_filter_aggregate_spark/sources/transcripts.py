@@ -194,7 +194,10 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("conv-%d", "user_id").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
-        F.format_string("INFO - %d - EVENT - %s - %d", "user_id", "event_type", F.round("value").cast("long")).alias("text"),
+        F.format_string(
+            "INFO - %d - EVENT - %s - %d", "user_id", "event_type",
+            F.floor("value").cast("long"),  # floor: identical in Spark and DuckDB (round ties differ)
+        ).alias("text"),
         F.lit("none").alias("tool"),
         "ts",
     )
