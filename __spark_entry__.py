@@ -659,12 +659,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
           FROM documents WHERE doc_id < 80
         ),
+        -- shingles joined with '|' (absent from normalized tokens), so tuple
+        -- identity matches the engine's hash-chain shingles exactly
         sh AS (
           SELECT doc_id,
                  list_distinct(CASE WHEN len(t) >= 3
                    THEN list_transform(generate_series(1, len(t) - 2),
-                        i -> concat_ws(' ', t[i], t[i+1], t[i+2]))
-                   ELSE [array_to_string(t, ' ')] END) AS sh
+                        i -> concat_ws('|', t[i], t[i+1], t[i+2]))
+                   ELSE [] END) AS sh
           FROM toks
         ),
         ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh),

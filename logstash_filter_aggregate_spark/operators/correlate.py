@@ -43,16 +43,30 @@ def apply_guards(sessions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     - ``create`` rows after creation are no-ops — duplicate start keeps
       the first map (``spec:52-68``);
     - sessions with no creating row never materialize a map at all.
+
+    Stays on the single task-partition exchange (no shuffle on the full
+    SESSION_KEY): the count of can-create rows seen *at the segment start*
+    is propagated forward with the running latest-group-start trick, so
+    per-segment creator detection is a subtraction of running counts.
     """
-    w = W.partitionBy(*SESSION_KEY)
-    can_create = F.col("_action") != "update"
-    creator_ord = F.min(F.when(can_create, F.col(ORDER_COL))).over(w)
+    from logstash_filter_aggregate_spark.operators.sessionize import _running, _w, seg_start_flag
+
+    w = _w()
+    cc = (F.col("_action") != "update").cast("int")
+    cc_incl = F.coalesce(_running(F.sum(cc)), F.lit(0))          # can-creates at/before me (task-wide)
+    cc_before_seg = _running(
+        F.max(F.when(seg_start_flag(), F.struct(F.col(ORDER_COL).alias("o"), (cc_incl - cc).alias("v"))))
+    )["v"]                                                        # can-creates strictly before my segment
+    sessions = sessions.withColumn("_cc_in_seg", cc_incl - cc_before_seg)
+    # _cc_in_seg counts can-create rows in my segment at-or-before me
+    prior_cc = F.col("_cc_in_seg") - cc
     included = (
-        creator_ord.isNotNull()
-        & (F.col(ORDER_COL) >= creator_ord)
-        & ~((F.col("_action") == "create") & (F.col(ORDER_COL) > creator_ord))
+        F.when((cc == 1) & (prior_cc == 0), F.lit(True))          # I create the map
+        .when(F.col("_action") == "create", F.lit(False))         # duplicate start: no-op (spec:52-68)
+        .otherwise(F.col("_cc_in_seg") >= 1)                      # update/c-o-u after a creator
     )
-    return sessions.withColumn("_included", included)
+    _ = w
+    return sessions.withColumn("_included", included).drop("_cc_in_seg")
 
 
 def _merged_agg_specs(cfg: PipelineConfig) -> dict[str, tuple[str, list[tuple[str, str]]]]:
@@ -176,7 +190,9 @@ class RoutedSessions:
     sessions: DataFrame    # every materialized map, with close_reason
 
 
-def route_sessions(sessions: DataFrame, cfg: PipelineConfig) -> RoutedSessions:
+def route_sessions(
+    sessions: DataFrame, cfg: PipelineConfig, watermark_df: DataFrame | None = None
+) -> RoutedSessions:
     """Classify each map by how it died.
 
     Expiry is event-time (the reference's only deterministic mode,
@@ -192,7 +208,15 @@ def route_sessions(sessions: DataFrame, cfg: PipelineConfig) -> RoutedSessions:
     is_last = (F.max(seg).over(w_task) == seg).cast("boolean")
     sessions = sessions.withColumn("_is_last", is_last)
 
-    wm = sessions.agg(F.max("lastevent_ts").alias("_watermark"))
+    # End-of-input "now" (the event-time analog of the final flush's
+    # Time.now, aggregate.rb:388-390). Computed from the RAW input when
+    # provided — a scan-only, column-pruned subtree — instead of from
+    # `sessions`, which would recompute the whole pipeline a second time
+    # just to produce one scalar.
+    if watermark_df is not None:
+        wm = watermark_df.agg(F.max("ts").alias("_watermark"))
+    else:
+        wm = sessions.agg(F.max("lastevent_ts").alias("_watermark"))
     sessions = sessions.crossJoin(F.broadcast(wm))
 
     eff_timeout = F.coalesce(F.col("_session_timeout"), F.lit(float(cfg.timeout)))

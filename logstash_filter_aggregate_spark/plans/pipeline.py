@@ -152,7 +152,9 @@ def run_pipeline(
     sessionized = sessionize(classified, cfg)
     guarded = apply_guards(sessionized, cfg)
     sessions = aggregate_sessions(guarded, cfg)
-    routed: RoutedSessions = route_sessions(sessions, cfg)
+    # watermark from the raw input: scan-only (ts column pruned down to
+    # the parquet reader), so routing never recomputes the pipeline
+    routed: RoutedSessions = route_sessions(sessions, cfg, watermark_df=transcripts)
 
     inline = routed.inline
     emitted = inline_emissions(classified, cfg)
