@@ -94,28 +94,52 @@ def _value_expr(sources: list[tuple[str, str]]) -> Column:
     return expr
 
 
-def _agg_column(name: str, fn: str, sources: list[tuple[str, str]]) -> Column:
+SEED_RULE = "_seed"
+
+
+def _agg_column(name: str, fn: str, sources: list[tuple[str, str]], with_seeds: bool) -> Column:
     """The aggregation dictionary (O6) — every entry a Catalyst built-in
     with map-side partial aggregation. Order-sensitive fns (`first`,
     `last`, `collect_list`) ride on ``_ord`` via struct min/max /
     sort_array, so results are independent of partitioning (the departure
-    from the reference's arrival-order ``-w 1`` mode)."""
+    from the reference's arrival-order ``-w 1`` mode).
+
+    ``with_seeds``: resumed runs inject one seed row per previously-open
+    map (plans/resume.py, the ``aggregate_maps_path`` reload analog,
+    ``aggregate.rb:136-140``) carrying the prior partial aggregate in
+    ``_seed_<name>``; each fn merges it with its natural combiner."""
     val = _value_expr(sources)
     inc = F.col("_included")
+    is_seed = F.col("_rule_id") == SEED_RULE
+    seed_val = F.col(f"_seed_{name}") if with_seeds else F.lit(None)
+    if with_seeds and fn in ("sum", "min", "max", "first", "last"):
+        val = F.when(is_seed, seed_val).otherwise(val)
     val = F.when(inc, val)
     rule_match = F.when(inc & F.col("_rule_id").isin([r for r, _ in sources]), 1)
     if fn == "sum":
         return F.sum(val).alias(name)
     if fn == "count":
+        if with_seeds:
+            # count merges as a sum of weights: seed weight = prior count
+            return F.sum(
+                F.when(inc & is_seed, F.coalesce(seed_val.cast("long"), F.lit(0)))
+                .when(rule_match.isNotNull(), F.lit(1))
+                .otherwise(F.lit(0))
+            ).alias(name)
         return F.count(rule_match).alias(name)
     if fn == "min":
         return F.min(val).alias(name)
     if fn == "max":
         return F.max(val).alias(name)
     if fn == "avg":
+        if with_seeds:
+            raise ConfigurationError(
+                f"agg {name!r}: avg cannot be merged from a seed — use sum+count"
+            )
         return F.avg(val).alias(name)
     if fn == "first":
-        # ||= first non-null in turn order (docs/index.asciidoc:136)
+        # ||= first non-null in turn order (docs/index.asciidoc:136); a
+        # seed row has the minimum _ord in its session, so it wins here
         return F.min(
             F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
         )["v"].alias(name)
@@ -123,33 +147,52 @@ def _agg_column(name: str, fn: str, sources: list[tuple[str, str]]) -> Column:
         return F.max(
             F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
         )["v"].alias(name)
-    if fn == "collect_list":
+    if fn in ("collect_list", "collect_set"):
         # map['towns'] << {...} in arrival order (docs/index.asciidoc:231-233)
-        return F.transform(
+        new_items = F.transform(
             F.sort_array(
                 F.collect_list(
-                    F.when(val.isNotNull(), F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
+                    F.when(val.isNotNull() & ~is_seed, F.struct(F.col(ORDER_COL).alias("o"), val.alias("v")))
                 )
             ),
             lambda x: x["v"],
-        ).alias(name)
-    if fn == "collect_set":
-        return F.collect_set(val).alias(name)
+        )
+        if with_seeds:
+            # seed carries the prior array; prepend it (seed is earliest).
+            # at most one seed per session, so an unordered first is fine
+            prior = F.first(F.when(inc & is_seed, seed_val), ignorenulls=True)
+            new_items = F.concat(_empty_if_null(prior, new_items), new_items)
+        if fn == "collect_set":
+            return F.array_distinct(new_items).alias(name)
+        return new_items.alias(name)
     raise ConfigurationError(f"unhandled agg fn {fn!r}")
+
+
+def _empty_if_null(arr: Column, like: Column) -> Column:
+    # empty array of the same element type as `like`
+    return F.coalesce(arr, F.slice(like, 1, 0))
 
 
 def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """One row per task-instance map: aggregation values + ``map_meta``
     (creation/lastevent timestamps, ``aggregate.rb:521-535``) + how the
-    session closed."""
+    session closed. Seed rows from a resumed run (plans/resume.py)
+    contribute their prior creation time / event count."""
     merged = _merged_agg_specs(cfg)
+    with_seeds = "_seed_nevents" in guarded.columns
     inc = F.col("_included")
     ord_c = F.col(ORDER_COL)
 
+    creation_src = (
+        F.coalesce(F.col("_seed_creation_ts"), F.col("ts")) if with_seeds else F.col("ts")
+    )
+    nevents_w = (
+        F.coalesce(F.col("_seed_nevents"), F.lit(1)) if with_seeds else F.lit(1)
+    )
     aggs = [
-        F.min(F.when(inc, F.col("ts"))).alias("creation_ts"),        # O4 aggregate.rb:525-528
+        F.min(F.when(inc, creation_src)).alias("creation_ts"),       # O4 aggregate.rb:525-528
         F.max(F.when(inc, F.col("ts"))).alias("lastevent_ts"),       # O5 aggregate.rb:220-221
-        F.count(F.when(inc, 1)).alias("nevents"),
+        F.sum(F.when(inc, nevents_w).otherwise(F.lit(0))).alias("nevents"),
         F.min(F.when(inc, F.struct(ord_c.alias("o"), F.col("conv_id").alias("v"))))["v"].alias("conv_id"),
         # the close row is by construction the last row of its segment
         F.max(
@@ -167,7 +210,7 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.max(
             F.when(inc & (F.col("_custom_inactivity") > 0), F.struct(ord_c.alias("o"), F.col("_custom_inactivity").alias("v")))
         )["v"].alias("_session_inactivity"),
-        *[_agg_column(n, fn, srcs) for n, (fn, srcs) in merged.items()],
+        *[_agg_column(n, fn, srcs, with_seeds) for n, (fn, srcs) in merged.items()],
     ]
     out = (
         guarded.groupBy(*SESSION_KEY)
@@ -249,11 +292,12 @@ def route_sessions(
         # final flush; only the globally last-created map gets the
         # shutdown tag (aggregate.rb:348-351, O20).
         pushed = sessions.where(F.col("close_reason").isin("timeout", "open"))
-        w_all = W.partitionBy("pattern_id")
-        glast = F.max(F.struct("creation_ts", "task_id")).over(w_all)
-        pushed = pushed.withColumn(
-            "_g_last", glast == F.struct("creation_ts", "task_id")
-        )
+        # globally-last-created map via broadcast agg (a partition-less
+        # window would drag every session through one partition)
+        glast = pushed.agg(F.max(F.struct("creation_ts", "task_id")).alias("_g"))
+        pushed = pushed.crossJoin(F.broadcast(glast)).withColumn(
+            "_g_last", F.col("_g") == F.struct("creation_ts", "task_id")
+        ).drop("_g")
         timeout = _timeout_event(pushed, cfg, final_col="_g_last").drop(*drop, "_g_last")
         inline_rows = sessions.where(F.col("close_reason") == "inline")
         inline = _timeout_event(inline_rows, cfg, final_col=None).drop(*drop)

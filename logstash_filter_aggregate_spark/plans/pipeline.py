@@ -144,12 +144,18 @@ def run_pipeline(
     groks: list[CompiledGrok] | None = None,
     dims: dict[str, DataFrame] | None = None,
     parse_backend: str = "jvm",
+    open_maps: DataFrame | None = None,
 ) -> PipelineOutputs:
+    """``open_maps``: the previous run's ``open`` bucket — resumes the
+    still-live maps (plans/resume.py, the aggregate_maps_path analog)."""
+    from logstash_filter_aggregate_spark.plans.resume import inject_seeds
+
     parsed = parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
+    correlated_in = inject_seeds(classified, open_maps, cfg)
 
-    sessionized = sessionize(classified, cfg)
+    sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
     sessions = aggregate_sessions(guarded, cfg)
     # watermark from the raw input: scan-only (ts column pruned down to
