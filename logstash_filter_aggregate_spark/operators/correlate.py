@@ -186,12 +186,17 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     creation_src = (
         F.coalesce(F.col("_seed_creation_ts"), F.col("ts")) if with_seeds else F.col("ts")
     )
+    lastevent_src = (
+        F.coalesce(F.col("_seed_lastevent_ts"), F.col("ts"))
+        if with_seeds and "_seed_lastevent_ts" in guarded.columns
+        else F.col("ts")
+    )
     nevents_w = (
         F.coalesce(F.col("_seed_nevents"), F.lit(1)) if with_seeds else F.lit(1)
     )
     aggs = [
         F.min(F.when(inc, creation_src)).alias("creation_ts"),       # O4 aggregate.rb:525-528
-        F.max(F.when(inc, F.col("ts"))).alias("lastevent_ts"),       # O5 aggregate.rb:220-221
+        F.max(F.when(inc, lastevent_src)).alias("lastevent_ts"),     # O5 aggregate.rb:220-221
         F.sum(F.when(inc, nevents_w).otherwise(F.lit(0))).alias("nevents"),
         F.min(F.when(inc, F.struct(ord_c.alias("o"), F.col("conv_id").alias("v"))))["v"].alias("conv_id"),
         # the close row is by construction the last row of its segment

@@ -69,9 +69,18 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     inactivity = float(cfg.effective_inactivity_timeout)
     ts_sec = _ts_sec()
+    # partial rows (resume seeds / skew pre-reduction super-rows) span
+    # [ts, _seed_lastevent_ts]; the gap to the NEXT row measures from
+    # their last event, not their arrival position
+    if "_seed_lastevent_ts" in part.columns:
+        eff_last = F.coalesce(
+            F.col("_seed_lastevent_ts").cast("timestamp").cast("double"), ts_sec
+        )
+    else:
+        eff_last = ts_sec
     same_end = F.lag("_end_seg").over(w) == F.col("_end_seg")
     gap_flag = (
-        same_end & (ts_sec - F.lag(ts_sec).over(w) > F.lit(inactivity))
+        same_end & (ts_sec - F.lag(eff_last).over(w) > F.lit(inactivity))
     ).cast("int")
     # non-resetting cumulative count: ids only need to be unique within
     # (task, end_seg), which a task-wide running sum already is

@@ -145,15 +145,27 @@ def run_pipeline(
     dims: dict[str, DataFrame] | None = None,
     parse_backend: str = "jvm",
     open_maps: DataFrame | None = None,
+    prereduce_s: float | None = None,
 ) -> PipelineOutputs:
     """``open_maps``: the previous run's ``open`` bucket — resumes the
-    still-live maps (plans/resume.py, the aggregate_maps_path analog)."""
+    still-live maps (plans/resume.py, the aggregate_maps_path analog).
+
+    ``prereduce_s``: hot-conversation skew handling (operators/skew.py):
+    collapse correlation rows into per-(task, bucket) partial rows before
+    the task-ordered window. Exact for gap splits when ``prereduce_s <=
+    inactivity_timeout``; absolute-age splits quantize to bucket
+    boundaries (opting in accepts that)."""
     from logstash_filter_aggregate_spark.plans.resume import inject_seeds
 
     parsed = parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
-    correlated_in = inject_seeds(classified, open_maps, cfg)
+    correlated_in = classified
+    if prereduce_s is not None:
+        from logstash_filter_aggregate_spark.operators.skew import prereduce
+
+        correlated_in = prereduce(classified, cfg, bucket_s=prereduce_s, allow_age_approx=True)
+    correlated_in = inject_seeds(correlated_in, open_maps, cfg)
 
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)

@@ -50,6 +50,7 @@ def seed_rows_from_open(open_maps: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit(None).cast("double").alias("_custom_timeout"),
         F.lit(None).cast("double").alias("_custom_inactivity"),
         F.col("creation_ts").alias("_seed_creation_ts"),
+        F.col("lastevent_ts").alias("_seed_lastevent_ts"),
         F.col("nevents").alias("_seed_nevents"),
         *[F.col(n).alias(f"_seed_{n}") for n in merged],
     ]
