@@ -1,0 +1,235 @@
+"""Structured Streaming variant (SURVEY.md §7 item 5).
+
+Two forms, matching how much of the reference's semantics a stream
+needs:
+
+- :func:`session_window_aggregate` — the pure gap-session shape
+  (docs example #3/#5, no end-events): built-in
+  ``F.session_window(ts, gap)`` + watermark. Fully Catalyst-native,
+  state handled by Spark's streaming aggregation.
+
+- :func:`streaming_correlate` — the full map lifecycle
+  (``map_action`` guards, ``end_of_task``, duplicate-start, timeouts)
+  via ``applyInPandasWithState`` keyed by task id with
+  ``EventTimeTimeout``: the state cell IS the reference's per-task map
+  (``aggregate.rb:199-246``), so this is the one place the engine runs
+  the reference's serial algorithm — per key, per micro-batch, inside an
+  Arrow batch. The batch engine remains the correctness reference; tests
+  assert the streaming results match it on the same input.
+
+The parse/classify stages are the same Catalyst expressions as batch —
+they work unchanged on a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from logstash_filter_aggregate_spark.config import PipelineConfig
+from logstash_filter_aggregate_spark.operators.classify import classify
+from logstash_filter_aggregate_spark.plans.pipeline import compile_groks, parse
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("creation_ts", T.DoubleType()),
+        T.StructField("lastevent_ts", T.DoubleType()),
+        T.StructField("nevents", T.LongType()),
+        T.StructField("map_json", T.StringType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("task_id", T.StringType()),
+        T.StructField("sink", T.StringType()),  # completed | timeout
+        T.StructField("creation_ts", T.TimestampType()),
+        T.StructField("lastevent_ts", T.TimestampType()),
+        T.StructField("nevents", T.LongType()),
+        T.StructField("map_json", T.StringType()),  # the reference's map, as JSON
+    ]
+)
+
+
+def session_window_aggregate(
+    stream_df: DataFrame,
+    cfg: PipelineConfig,
+    watermark: str = "10 minutes",
+    groks=None,
+) -> DataFrame:
+    """Gap sessions with the built-in session_window (O10 streaming form).
+    Emits one row per closed session once the watermark passes its end."""
+    from logstash_filter_aggregate_spark.operators.classify import task_id_expr
+    from logstash_filter_aggregate_spark.operators.correlate import _merged_agg_specs, _value_expr
+
+    parsed = parse(stream_df, groks or compile_groks())
+    classified = classify(parsed, cfg)
+    part = classified.where(F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
+    gap = f"{cfg.effective_inactivity_timeout} seconds"
+    aggs = []
+    for name, (fn, sources) in _merged_agg_specs(cfg).items():
+        val = _value_expr(sources)
+        if fn == "count":
+            aggs.append(F.count(F.when(F.col("_rule_id").isin([r for r, _ in sources]), 1)).alias(name))
+        else:
+            aggs.append(getattr(F, fn if fn != "first" else "min")(val).alias(name))
+    return (
+        part.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("_task_id").alias("task_id"))
+        .agg(
+            F.min("ts").alias("creation_ts"),
+            F.max("ts").alias("lastevent_ts"),
+            F.count(F.lit(1)).alias("nevents"),
+            *aggs,
+        )
+    )
+
+
+def _agg_value_col(rule_id: str, name: str) -> str:
+    return f"_v_{rule_id}_{name}"
+
+
+def _make_stateful_fn(cfg: PipelineConfig):
+    """Build the per-key stateful function: the reference's filter() hot
+    path (aggregate.rb:179-255) over one task's micro-batch rows. Agg
+    inputs arrive pre-projected as ``_v_<rule>_<name>`` columns so SQL
+    expressions (not just plain columns) work as agg sources."""
+    rules = [
+        dict(
+            rule_id=r.rule_id,
+            map_action=r.map_action,
+            end_of_task=r.end_of_task,
+            aggs=[(s.name, s.fn, _agg_value_col(r.rule_id, s.name) if s.col else None) for s in r.aggs],
+        )
+        for r in cfg.rules
+    ]
+    timeout_s = float(cfg.timeout)
+    inactivity_s = float(cfg.effective_inactivity_timeout)
+    push = cfg.push_map_as_event_on_timeout
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        task_id = key[0]
+        out_rows: list[dict] = []
+
+        def emit(sink: str, st: dict) -> None:
+            out_rows.append(
+                dict(
+                    task_id=task_id,
+                    sink=sink,
+                    creation_ts=pd.Timestamp(st["creation_ts"], unit="s"),
+                    lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s"),
+                    nevents=st["nevents"],
+                    map_json=st["map_json"],
+                )
+            )
+
+        if state.hasTimedOut:
+            (c, l, n, mj) = state.get
+            if push:
+                emit("timeout", dict(creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj))
+            state.remove()
+            yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
+
+        st: dict | None = None
+        if state.exists:
+            (c, l, n, mj) = state.get
+            st = dict(creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj)
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+            # dict records: itertuples mangles underscore-prefixed names
+            for row in pdf.to_dict("records"):
+                rule = next((r for r in rules if r["rule_id"] == row["_rule_id"]), None)
+                if rule is None:
+                    continue
+                ts_s = row["ts"].timestamp()
+                # event-time expiry on arrival (aggregate.rb:420-445, O12)
+                if st is not None and (
+                    ts_s - st["creation_ts"] > timeout_s
+                    or ts_s - st["lastevent_ts"] > inactivity_s
+                ):
+                    if push:
+                        emit("timeout", st)
+                    st = None
+                if st is None:
+                    if rule["map_action"] == "update":
+                        continue  # no map: update is a no-op (aggregate.rb:203)
+                    st = dict(
+                        creation_ts=ts_s, lastevent_ts=ts_s, nevents=0,
+                        map_json=json.dumps({}),
+                    )
+                elif rule["map_action"] == "create":
+                    continue  # duplicate start keeps first map (aggregate.rb:216)
+                st["lastevent_ts"] = ts_s
+                st["nevents"] += 1
+                m = json.loads(st["map_json"])
+                for (name, fnm, col) in rule["aggs"]:
+                    v = row.get(col) if col else None
+                    if fnm == "count":
+                        m[name] = m.get(name, 0) + 1
+                    elif v is None or (isinstance(v, float) and v != v):
+                        continue
+                    elif fnm == "sum":
+                        m[name] = m.get(name, 0) + v
+                    elif fnm == "min":
+                        m[name] = v if name not in m else min(m[name], v)
+                    elif fnm == "max":
+                        m[name] = v if name not in m else max(m[name], v)
+                    elif fnm == "first":
+                        m.setdefault(name, v)
+                    elif fnm == "last":
+                        m[name] = v
+                    elif fnm in ("collect_list", "collect_set"):
+                        lst = m.setdefault(name, [])
+                        if fnm == "collect_list" or v not in lst:
+                            lst.append(v)
+                st["map_json"] = json.dumps(m, default=str)
+                if rule["end_of_task"]:
+                    emit("completed", st)   # aggregate.rb:240
+                    st = None
+
+        if st is not None:
+            state.update((st["creation_ts"], st["lastevent_ts"], st["nevents"], st["map_json"]))
+            expiry_s = min(st["creation_ts"] + timeout_s, st["lastevent_ts"] + inactivity_s)
+            state.setTimeoutTimestamp(int(expiry_s * 1000))
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    return fn
+
+
+def streaming_correlate(
+    stream_df: DataFrame,
+    cfg: PipelineConfig,
+    groks=None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Full-map-lifecycle streaming correlation. Returns one appended row
+    per closed map with a ``sink`` column; split to routed sinks with
+    ``foreachBatch`` filters."""
+    parsed = parse(stream_df, groks or compile_groks())
+    classified = classify(parsed, cfg)
+    value_cols = [
+        F.expr(sp.col).alias(_agg_value_col(r.rule_id, sp.name))
+        for r in cfg.rules for sp in r.aggs if sp.col
+    ]
+    part = (
+        classified.where(F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .select("_task_id", "_rule_id", "conv_id", "turn_idx", "ts", *value_cols)
+    )
+    return part.groupBy("_task_id").applyInPandasWithState(
+        _make_stateful_fn(cfg),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -1,0 +1,107 @@
+"""Streaming variant vs the batch correctness reference."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule
+from logstash_filter_aggregate_spark.plans.pipeline import example1_config, example3_config, run_pipeline
+from logstash_filter_aggregate_spark.sources.transcripts import generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream_in"))
+    t = generate_transcripts(spark, n_convs=24, hot_convs=0)
+    t.write.mode("overwrite").parquet(p)
+    return p
+
+
+def _run_stream(spark, stream_dir, df_fn, name):
+    schema = spark.read.parquet(stream_dir).schema
+    src = spark.readStream.schema(schema).parquet(stream_dir)
+    out = df_fn(src)
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_streaming_correlate_matches_batch_completed(spark, stream_dir):
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+
+    cfg = example1_config(timeout=3600.0)
+    got = _run_stream(
+        spark, stream_dir, lambda src: streaming_correlate(src, cfg), "stream_ex1"
+    ).where("sink = 'completed'")
+    rows = {
+        r.task_id: (json.loads(r.map_json).get("sql_duration"), r.nevents)
+        for r in got.collect()
+    }
+    batch = run_pipeline(spark, spark.read.parquet(stream_dir), cfg)
+    expect = {r.task_id: (r.sql_duration, r.nevents) for r in batch.completed.collect()}
+    assert rows == expect
+
+
+def test_streaming_gap_expiry_on_arrival(spark, stream_dir):
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+
+    # S8 conv: gap of 4000s > timeout 600 -> expiry pushed on arrival of
+    # the third event, exactly like spec:374-390
+    cfg = example3_config(
+        timeout=600.0,
+        rules=(
+            CorrelationRule(
+                "update", "logger = 'SQL'",
+                aggs=(AggSpec("total", "sum", "duration"),),
+            ),
+        ),
+    )
+    got = _run_stream(
+        spark, stream_dir, lambda src: streaming_correlate(src, cfg), "stream_s8"
+    )
+    pushed = got.where("sink = 'timeout' and task_id = '100007'").collect()
+    assert len(pushed) == 1
+    assert json.loads(pushed[0].map_json)["total"] == 3  # 1 + 2 pushed; 4 stays open
+
+
+def test_session_window_aggregate_incremental(spark, tmp_path):
+    # append-mode session windows emit once the watermark passes their
+    # end; drive two incremental availableNow runs over one checkpoint
+    # (the streaming analog of the batch resume test)
+    import datetime as dt
+
+    from logstash_filter_aggregate_spark.streaming.stream import session_window_aggregate
+
+    in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+    t = generate_transcripts(spark, n_convs=24, hot_convs=0)
+    split = dt.datetime(2026, 1, 1, 0, 1, 0)
+    t.where(F.col("ts") < F.lit(split)).write.mode("overwrite").parquet(in_dir)
+
+    cfg = example3_config(timeout=600.0, inactivity_timeout=60.0)  # window end = last event + gap must precede the final watermark
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            session_window_aggregate(src, cfg, watermark="0 seconds")
+            .drop("session_window")
+            .writeStream.format("parquet")
+            .option("path", out_dir).option("checkpointLocation", cp)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    t.where(F.col("ts") >= F.lit(split)).write.mode("append").parquet(in_dir)
+    run_once()
+    run_once()  # no-data run: applies the advanced watermark, flushing state
+
+    got = spark.read.parquet(out_dir)
+    clicks = {r.task_id: r.clicks for r in got.collect()}
+    # chunk-1 click sessions closed once chunk 2 advanced the watermark
+    assert clicks.get("100002") == 3
+    assert all(r.nevents >= 1 for r in got.collect())
