@@ -30,7 +30,7 @@ from logstash_filter_aggregate_spark.plans.pipeline import (  # noqa: E402
 )
 from logstash_filter_aggregate_spark.sources.transcripts import (  # noqa: E402
     events_as_transcripts,
-    generate_transcripts,
+    generate_for_turns,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,12 +50,7 @@ def _materialize_transcripts(spark) -> str:
     path = f"{CACHE_DIR}/transcripts_{TURNS}.parquet"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
-        n_convs = max(1, TURNS // 8)          # ~7.2 turns per template conv
-        hot_turns = max(1, TURNS // 30)       # one hot conversation, ~3% of rows
-        df = generate_transcripts(
-            spark, n_convs=n_convs, hot_convs=1, hot_turns=hot_turns,
-            partitions=max(CPUS * 2, 16),
-        )
+        df = generate_for_turns(spark, TURNS, partitions=max(CPUS * 2, 16))
         df.write.mode("overwrite").parquet(path)
     return path
 

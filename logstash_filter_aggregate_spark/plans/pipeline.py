@@ -146,6 +146,7 @@ def run_pipeline(
     parse_backend: str = "jvm",
     open_maps: DataFrame | None = None,
     prereduce_s: float | None = None,
+    cache_sessions: bool = False,
 ) -> PipelineOutputs:
     """``open_maps``: the previous run's ``open`` bucket — resumes the
     still-live maps (plans/resume.py, the aggregate_maps_path analog).
@@ -170,6 +171,11 @@ def run_pipeline(
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
     sessions = aggregate_sessions(guarded, cfg)
+    if cache_sessions:
+        # when several buckets are materialized (routed sink writes), the
+        # aggregated sessions are tiny relative to the event stream —
+        # persist them so each bucket write doesn't recompute the windows
+        sessions = sessions.persist()
     # watermark from the raw input: scan-only (ts column pruned down to
     # the parquet reader), so routing never recomputes the pipeline
     routed: RoutedSessions = route_sessions(sessions, cfg, watermark_df=transcripts)

@@ -154,6 +154,19 @@ def generate_transcripts(
     return df
 
 
+TEMPLATE_ROWS_PER_CONV = len(_TEMPLATE_ROWS) / N_SCENARIOS
+
+
+def generate_for_turns(
+    spark: SparkSession, turns: int, hot_fraction: float = 0.03, partitions: int | None = None
+) -> DataFrame:
+    """Size-targeted generation: ~``turns`` total rows, ``hot_fraction``
+    of them in one hot conversation (skew)."""
+    hot = max(1, int(turns * hot_fraction))
+    n_convs = max(1, int((turns - hot) / TEMPLATE_ROWS_PER_CONV))
+    return generate_transcripts(spark, n_convs=n_convs, hot_convs=1, hot_turns=hot, partitions=partitions)
+
+
 def role_dim(spark: SparkSession) -> DataFrame:
     """Broadcast-enrich dimension (FIXTURES.md §2; SURVEY.md U4)."""
     return spark.createDataFrame(
