@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from logstash_filter_aggregate_spark.config import (
+    KIND_COL,
     ORDER_COL,
     TASK_ID_COL,
     AggSpec,
@@ -28,6 +29,7 @@ from logstash_filter_aggregate_spark.config import (
 )
 
 SESSION_KEY = [TASK_ID_COL, "_end_seg", "_gap_seg", "_age_seg"]
+SEED_RULE = "_seed"  # rule id of partial rows (resume seeds / prereduce super-rows)
 META_COLS = {
     "pattern_id", "task_id", "conv_id", "creation_ts", "lastevent_ts",
     "nevents", "close_kind", "end_ts", "end_turn_idx", "tags",
@@ -87,17 +89,49 @@ def _merged_agg_specs(cfg: PipelineConfig) -> dict[str, tuple[str, list[tuple[st
     return merged
 
 
-def _value_expr(sources: list[tuple[str, str]]) -> Column:
+def _value_expr(sources: list[tuple[str, str]], projected: bool = False) -> Column:
     expr: Column = F.lit(None)
     for rid, col in sources:
-        expr = F.when(F.col("_rule_id") == rid, F.expr(col)).otherwise(expr)
+        src = F.col(value_col_name(rid, col)) if projected else F.expr(col)
+        expr = F.when(F.col("_rule_id") == rid, src).otherwise(expr)
     return expr
 
 
-SEED_RULE = "_seed"
+def value_col_name(rule_id: str, expr: str) -> str:
+    # stable name per (rule, source expression)
+    import hashlib as _h
+
+    return f"_v_{rule_id}_{_h.md5(expr.encode()).hexdigest()[:8]}"
 
 
-def _agg_column(name: str, fn: str, sources: list[tuple[str, str]], with_seeds: bool) -> Column:
+NARROW_BASE = [
+    "conv_id", "turn_idx", "ts", TASK_ID_COL, KIND_COL,
+    "_end_flag", "_action", "_custom_timeout", "_custom_inactivity",
+]
+
+
+def narrow_for_correlation(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Project the correlation stream down to the engine columns plus
+    pre-evaluated aggregation inputs (``_v_<rule>_<hash>``) BEFORE the
+    task-id exchange: the shuffle and the window sort then carry narrow
+    rows instead of raw text + every parsed capture — the columnar
+    equivalent of predicate/projection pushdown for the stateful stage."""
+    vcols: dict[str, Column] = {}
+    for r in cfg.rules:
+        for s in r.aggs:
+            if not s.col:
+                continue
+            name = value_col_name(r.rule_id, s.col)
+            if name not in vcols:
+                vcols[name] = F.when(F.col(KIND_COL) == r.rule_id, F.expr(s.col)).alias(name)
+    seed_cols = [c for c in classified.columns if c.startswith("_seed_")]
+    return classified.select(*NARROW_BASE, *seed_cols, *vcols.values())
+
+
+def _agg_column(
+    name: str, fn: str, sources: list[tuple[str, str]], with_seeds: bool,
+    projected: bool = False,
+) -> Column:
     """The aggregation dictionary (O6) — every entry a Catalyst built-in
     with map-side partial aggregation. Order-sensitive fns (`first`,
     `last`, `collect_list`) ride on ``_ord`` via struct min/max /
@@ -108,7 +142,8 @@ def _agg_column(name: str, fn: str, sources: list[tuple[str, str]], with_seeds: 
     map (plans/resume.py, the ``aggregate_maps_path`` reload analog,
     ``aggregate.rb:136-140``) carrying the prior partial aggregate in
     ``_seed_<name>``; each fn merges it with its natural combiner."""
-    val = _value_expr(sources)
+    # count never evaluates its source (and "1" is not projected)
+    val = _value_expr(sources, projected) if fn != "count" else F.lit(None)
     inc = F.col("_included")
     is_seed = F.col("_rule_id") == SEED_RULE
     seed_val = F.col(f"_seed_{name}") if with_seeds else F.lit(None)
@@ -180,6 +215,7 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     contribute their prior creation time / event count."""
     merged = _merged_agg_specs(cfg)
     with_seeds = "_seed_nevents" in guarded.columns
+    projected = any(c.startswith("_v_") for c in guarded.columns)
     inc = F.col("_included")
     ord_c = F.col(ORDER_COL)
 
@@ -215,7 +251,7 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.max(
             F.when(inc & (F.col("_custom_inactivity") > 0), F.struct(ord_c.alias("o"), F.col("_custom_inactivity").alias("v")))
         )["v"].alias("_session_inactivity"),
-        *[_agg_column(n, fn, srcs, with_seeds) for n, (fn, srcs) in merged.items()],
+        *[_agg_column(n, fn, srcs, with_seeds, projected) for n, (fn, srcs) in merged.items()],
     ]
     out = (
         guarded.groupBy(*SESSION_KEY)

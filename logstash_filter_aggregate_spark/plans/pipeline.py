@@ -161,11 +161,17 @@ def run_pipeline(
     parsed = parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
-    correlated_in = classified
     if prereduce_s is not None:
         from logstash_filter_aggregate_spark.operators.skew import prereduce
 
         correlated_in = prereduce(classified, cfg, bucket_s=prereduce_s, allow_age_approx=True)
+    else:
+        # narrow the correlation stream before the task-id exchange: the
+        # shuffle/sort carry engine columns + pre-evaluated agg inputs
+        # only, never raw text or unused captures
+        from logstash_filter_aggregate_spark.operators.correlate import narrow_for_correlation
+
+        correlated_in = narrow_for_correlation(classified, cfg)
     correlated_in = inject_seeds(correlated_in, open_maps, cfg)
 
     sessionized = sessionize(correlated_in, cfg)

@@ -46,7 +46,6 @@ def seed_rows_from_open(open_maps: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit(SEED_RULE).alias("_rule_id"),
         F.lit(0).alias("_end_flag"),
         F.lit("create_or_update").alias("_action"),
-        F.lit(False).alias("_cancel"),
         F.lit(None).cast("double").alias("_custom_timeout"),
         F.lit(None).cast("double").alias("_custom_inactivity"),
         F.col("creation_ts").alias("_seed_creation_ts"),

@@ -54,7 +54,7 @@ def main() -> None:
                 if name in buckets:
                     df.write.mode("overwrite").format("noop").save()
         walls.append(time.perf_counter() - t0)
-        out.sessions.unpersist()
+        out.sessions.unpersist(blocking=True)  # reps must not reuse the cache
     wall = min(walls)
     n = t.count()
     print(json.dumps({
