@@ -275,7 +275,8 @@ class RoutedSessions:
 
 
 def route_sessions(
-    sessions: DataFrame, cfg: PipelineConfig, watermark_df: DataFrame | None = None
+    sessions: DataFrame, cfg: PipelineConfig, watermark_df: DataFrame | None = None,
+    watermark_value=None,
 ) -> RoutedSessions:
     """Classify each map by how it died.
 
@@ -297,11 +298,16 @@ def route_sessions(
     # provided — a scan-only, column-pruned subtree — instead of from
     # `sessions`, which would recompute the whole pipeline a second time
     # just to produce one scalar.
-    if watermark_df is not None:
-        wm = watermark_df.agg(F.max("ts").alias("_watermark"))
+    if watermark_value is not None:
+        # pre-materialized scalar (one job): every bucket's plan embeds the
+        # literal instead of re-scanning the input per bucket
+        sessions = sessions.withColumn("_watermark", F.lit(watermark_value))
     else:
-        wm = sessions.agg(F.max("lastevent_ts").alias("_watermark"))
-    sessions = sessions.crossJoin(F.broadcast(wm))
+        if watermark_df is not None:
+            wm = watermark_df.agg(F.max("ts").alias("_watermark"))
+        else:
+            wm = sessions.agg(F.max("lastevent_ts").alias("_watermark"))
+        sessions = sessions.crossJoin(F.broadcast(wm))
 
     eff_timeout = F.coalesce(F.col("_session_timeout"), F.lit(float(cfg.timeout)))
     eff_inact = F.coalesce(

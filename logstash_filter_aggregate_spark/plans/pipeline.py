@@ -177,14 +177,20 @@ def run_pipeline(
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
     sessions = aggregate_sessions(guarded, cfg)
+    wm_value = None
     if cache_sessions:
         # when several buckets are materialized (routed sink writes), the
         # aggregated sessions are tiny relative to the event stream —
-        # persist them so each bucket write doesn't recompute the windows
+        # persist them so each bucket write doesn't recompute the windows,
+        # and materialize the watermark scalar once (scan-only job) so the
+        # bucket plans embed a literal instead of re-scanning the input
         sessions = sessions.persist()
+        wm_value = transcripts.agg(F.max("ts")).first()[0]
     # watermark from the raw input: scan-only (ts column pruned down to
     # the parquet reader), so routing never recomputes the pipeline
-    routed: RoutedSessions = route_sessions(sessions, cfg, watermark_df=transcripts)
+    routed: RoutedSessions = route_sessions(
+        sessions, cfg, watermark_df=transcripts, watermark_value=wm_value
+    )
 
     inline = routed.inline
     emitted = inline_emissions(classified, cfg)
