@@ -69,6 +69,7 @@ def run_at(master: str, zpath: str, input_path: str, config: str, timeout_s: flo
         "--py-files", zpath,
         os.path.join(REPO, "tools", "submit_job.py"),
         "--input", input_path, "--config", config, "--timeout", str(timeout_s),
+        "--buckets", "sessions",  # headline = parse→aggregate (the BASELINE.json metric)
     ]
     t0 = time.time()
     res = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env)
@@ -88,7 +89,7 @@ def write_md(runs: dict, sf_dir: str) -> str:
     md = f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
 
 Identical job (`tools/submit_job.py --config example1`: full grok parse
--> sessionize -> correlate -> route, all five routed buckets) via
+-> sessionize -> correlate job materializing the session table) via
 `spark-submit --py-files dist/logstash_filter_aggregate_spark.zip`,
 identical input ({runs['N']['turns']:,} generated transcript turns incl. one
 hot conversation with ~3% of all rows), two cluster sizes using
