@@ -75,14 +75,41 @@ class CompiledGrok:
     alias: dict[str, str]           # sanitized group name -> capture name
 
 
-def compile_grok(name: str, pattern: str, anchored: bool = True) -> CompiledGrok:
+def compile_grok(
+    name: str,
+    pattern: str,
+    anchored: bool = True,
+    extra_patterns: dict[str, str] | None = None,
+) -> CompiledGrok:
     """Expand ``%{SYNTAX:semantic:type}`` references into named groups.
 
     Unnamed references (``%{LOGLEVEL}``) expand to non-capturing groups.
     Literal text between references is regex-escaped only if it is not
     already regex (we treat the pattern text outside ``%{}`` as regex,
     matching grok semantics — e.g. ``( - %{INT:duration:int})?``).
+    ``extra_patterns`` adds/overrides base-dictionary entries, like
+    logstash's ``patterns_dir`` custom pattern files; entries may
+    themselves reference other patterns (one level of recursion per pass,
+    resolved to a fixpoint).
     """
+    if extra_patterns:
+        dictionary = dict(BASE_PATTERNS, **extra_patterns)
+        # resolve %{REF} inside custom definitions (unnamed only)
+        for _ in range(5):
+            changed = False
+            for k, v in dictionary.items():
+                def _res(m: re.Match[str]) -> str:
+                    base = dictionary.get(m.group(1))
+                    if base is None:
+                        raise KeyError(f"unknown grok base pattern %{{{m.group(1)}}}")
+                    return f"(?:{base})"
+                nv = re.sub(r"%\{(\w+)\}", _res, v)
+                if nv != v:
+                    dictionary[k], changed = nv, True
+            if not changed:
+                break
+    else:
+        dictionary = BASE_PATTERNS
     captures: list[str] = []
     types: dict[str, T.DataType] = {}
     alias: dict[str, str] = {}
@@ -101,7 +128,7 @@ def compile_grok(name: str, pattern: str, anchored: bool = True) -> CompiledGrok
 
     def _sub(m: re.Match[str]) -> str:
         syntax, semantic, typ = m.group(1), m.group(2), m.group(3)
-        base = BASE_PATTERNS.get(syntax)
+        base = dictionary.get(syntax)
         if base is None:
             raise KeyError(f"unknown grok base pattern %{{{syntax}}}")
         if semantic is None:

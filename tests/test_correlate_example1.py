@@ -142,3 +142,19 @@ def test_end_restarts_task_instance(spark):
     )
     vals = sorted(r.sql_duration for r in out.completed.collect())
     assert vals == [1, 2]
+
+
+def test_broadcast_dim_enrichment(spark):
+    from logstash_filter_aggregate_spark.sources.transcripts import role_dim, tool_dim
+    out = _run(
+        spark,
+        [
+            (0, "INFO - 12345 - TASK_START - start", 0),
+            (1, "INFO - 12345 - SQL - q - 5", 1),
+            (2, "INFO - 12345 - TASK_END - end", 2),
+        ],
+        dims={"role": role_dim(spark), "tool": tool_dim(spark)},
+    )
+    pt = {r.turn_idx: r for r in out.passthrough.collect()}
+    assert pt[0].role_group == "human" and pt[0].is_human is True
+    assert pt[0].tool_family == "none"

@@ -152,3 +152,13 @@ def test_textstats_quality_and_langid(spark):
     assert langs[1] == "en" and langs[2] == "de" and langs[3] == "und"
     toks = {r.doc_id: r.n for r in df.select("doc_id", textstats.token_count("text").alias("n")).collect()}
     assert toks[1] == 12 and toks[3] == 0
+
+
+def test_ivf_topk_contains_strong_matches(emb):
+    from logstash_filter_aggregate_spark.operators import similarity
+    q = emb.where("vec_id = 0").select("embedding").first()[0]
+    got = similarity.ivf_topk(emb, list(q), k=5, n_cells=8, n_probe=8)
+    rows = got.collect()
+    # probing all 8 cells = exhaustive -> must equal brute force
+    brute = similarity.brute_force_topk(emb, list(q), k=5).collect()
+    assert [r.vec_id for r in rows] == [r.vec_id for r in brute]

@@ -66,3 +66,15 @@ def test_default_dictionary_order_specific_first():
     names = [n for n, _ in DEFAULT_GROKS]
     assert names.index("click") < names.index("task")
     assert names.index("error") < names.index("task")
+
+
+def test_custom_pattern_dictionary(spark):
+    # logstash patterns_dir analog: custom entries may reference others
+    g = compile_grok(
+        "sess", "%{SESSIONID:sid} %{WORD:verb}",
+        extra_patterns={"SESSIONID": r"S-%{INT}-%{WORD}"},
+    )
+    df = make_transcript(spark, [(0, "S-42-abc GET", 0)])
+    from logstash_filter_aggregate_spark.functions.grok import apply_grok_jvm
+    r = apply_grok_jvm(df, "text", [g]).first()
+    assert r.sid == "S-42-abc" and r.verb == "GET"
