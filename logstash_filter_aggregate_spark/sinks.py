@@ -83,6 +83,7 @@ def write_routed(
     input_desc: str,
     fmt: str = "parquet",
     partition_by: dict[str, list[str]] | None = None,
+    input_df: DataFrame | None = None,
 ) -> RunManifest:
     """Write every bucket, resumably.
 
@@ -94,11 +95,11 @@ def write_routed(
     run_id = run_id_for(input_desc, cfg)
     manifest = RunManifest.load(base_path, run_id)
     if manifest is None:
-        first_df = next(iter(outputs.values()))
+        files_src = input_df if input_df is not None else next(iter(outputs.values()))
         manifest = RunManifest(
             run_id=run_id,
             input_desc=input_desc,
-            input_files=input_files_of(first_df),
+            input_files=input_files_of(files_src),
             config_fingerprint=config_fingerprint(cfg),
             started_at=time.time(),
         )
@@ -152,9 +153,12 @@ def write_run(
     fmt: str = "parquet",
 ) -> RunManifest:
     """Full run: routed sinks + per-partition lineage table."""
-    manifest = write_routed(outputs.as_dict(), base_path, cfg, input_desc, fmt=fmt)
-    pm_path = f"{base_path}/_lineage/partitions/run_id={manifest.run_id}"
-    partition_metrics(transcripts).write.mode("overwrite").format(fmt).save(pm_path)
-    manifest.sinks["_partitions"] = {"path": pm_path, "done": True}
-    manifest.save(base_path)
+    manifest = write_routed(
+        outputs.as_dict(), base_path, cfg, input_desc, fmt=fmt, input_df=transcripts
+    )
+    if not manifest.sinks.get("_partitions", {}).get("done"):
+        pm_path = f"{base_path}/_lineage/partitions/run_id={manifest.run_id}"
+        partition_metrics(transcripts).write.mode("overwrite").format(fmt).save(pm_path)
+        manifest.sinks["_partitions"] = {"path": pm_path, "done": True}
+        manifest.save(base_path)
     return manifest

@@ -41,3 +41,13 @@ def test_parse_backends_produce_identical_pipeline_results(spark):
     a = run_pipeline(spark, base, cfg, parse_backend="jvm")
     b = run_pipeline(spark, base, cfg, parse_backend="pandas")
     assert _fingerprint(a.completed) == _fingerprint(b.completed)
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark):
+    # BASELINE.json invariant: the passthrough stream preserves every
+    # turn's text exactly, keyed by the stable (conv_id, turn_idx) order
+    base = generate_transcripts(spark, n_convs=24, hot_convs=1, hot_turns=25)
+    out = run_pipeline(spark, base.repartition(13), example1_config())
+    got = {(r.conv_id, r.turn_idx): r.text for r in out.passthrough.collect()}
+    expect = {(r.conv_id, r.turn_idx): r.text for r in base.collect()}
+    assert got == expect
