@@ -153,3 +153,40 @@ def test_custom_timeout_zero_without_push_is_silent(spark):
     out = run_pipeline(spark, make_transcript(spark, rows), cfg)
     assert out.inline.count() == 0
     assert out.sessions.where("close_reason = 'inline'").count() == 1
+
+
+def test_custom_timeout_positive_override_exact_mode(spark):
+    # spec:410-421 — code sets map_meta.timeout=10: that map expires 10s
+    # after creation even though the pattern default is 600s. Exact scan
+    # mode honors mid-stream overrides (window mode documents this as
+    # unsupported).
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),),
+                custom_timeout="10",
+            ),
+        ),
+        timeout=600.0,
+        push_map_as_event_on_timeout=True,
+        exact_age_cap=True,
+    )
+    rows = [
+        (0, "INFO - t - Clicked One", 0),
+        (1, "INFO - t - Clicked Two", 50),   # 50s > custom 10s -> new map
+        (2, "INFO - t - Clicked Three", 55),
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    sess = sorted(out.sessions.collect(), key=lambda r: r.creation_ts)
+    assert [s.clicks for s in sess] == [1, 2]
+    # without the override the same rows form one session
+    cfg_no = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(CorrelationRule("click", "click_target is not null",
+                               aggs=(AggSpec("clicks", "count"),)),),
+        timeout=600.0, exact_age_cap=True,
+    )
+    out_no = run_pipeline(spark, make_transcript(spark, rows), cfg_no)
+    assert [s.clicks for s in out_no.sessions.collect()] == [3]
