@@ -144,6 +144,10 @@ def minhash_lsh_candidates(
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members")
     ).where(F.size("members") >= 2)
+    # no-silent-caps contract: pairs that came out of an over-capacity
+    # bucket carry truncated=true — coverage past max_bucket was dropped
+    # there, and the caller can see it instead of silently missing it
+    bucket_truncated = (F.size("members") > max_bucket).alias("bucket_truncated")
     members = F.slice("members", 1, max_bucket)
     pair_struct = F.explode(
         F.flatten(
@@ -164,9 +168,14 @@ def minhash_lsh_candidates(
         )
     )
     return (
-        buckets.select(pair_struct.alias("p"))
-        .select("p.id_a", "p.id_b", "p.est_jaccard")
-        .distinct()
+        buckets.select(pair_struct.alias("p"), bucket_truncated)
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            # est_jaccard is a pure function of the two signatures —
+            # identical in every bucket that emitted the pair
+            F.first(F.col("p.est_jaccard")).alias("est_jaccard"),
+            F.max("bucket_truncated").alias("truncated"),
+        )
     )
 
 
@@ -176,17 +185,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     min_jaccard: float = 0.0,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs found via shared shingles
     (explode + self-join on the shingle hash, then |A∩B| / |A∪B|).
     Suitable as the verify stage after :func:`minhash_lsh_candidates`.
     Shingles are compared by hash (collision odds ~n²/2⁶⁴ — negligible),
-    so no shingle strings are ever built."""
+    so no shingle strings are ever built.
+
+    ``max_df`` caps the **document frequency** of join-key shingles: a
+    shingle present in f docs contributes f² join rows, so one ubiquitous
+    shingle (boilerplate, empty-doc token) makes the self-join quadratic
+    at scale. Shingles with df > max_df are excluded from the
+    intersection count (the standard df-cut for Jaccard verification) —
+    union sizes stay exact, so the reported jaccard is a lower bound for
+    pairs that shared only ultra-common shingles. ``None`` disables the
+    cap (small inputs / post-LSH candidate verification only)."""
     sh = (
         df.select(F.col(id_col).alias("id"), F.array_distinct(shingle_hashes(text_col, k)).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("s_hash"))
+    if max_df is not None:
+        freq = (
+            exploded.groupBy("s_hash")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_df)
+            .select("s_hash")
+        )
+        # co-partitioned with the self-join key (same shuffle column), so
+        # AQE plans this as one exchange reused by both joins
+        exploded = exploded.join(freq, "s_hash")
     a, b = exploded.alias("a"), exploded.alias("b")
     inter = (
         a.join(b, (F.col("a.s_hash") == F.col("b.s_hash")) & (F.col("a.id") < F.col("b.id")))
@@ -243,11 +272,21 @@ def simhash64(col: str | Column = "text") -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket on 4 16-bit blocks (pigeonhole —
     any pair within hamming distance 3 shares at least one exact block),
-    then verify the full hamming distance with bit_count."""
+    then verify the full hamming distance with bit_count.
+
+    Same shape and safety valve as :func:`minhash_lsh_candidates`: one
+    explode + groupBy per block bucket, in-bucket pairs via nested
+    transform, ``max_bucket`` member cap with a ``truncated`` disclosure
+    column — a degenerate block value (e.g. the all-zero signature of
+    empty docs) stays bounded instead of going quadratic."""
     sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
     blocks = sig.select(
         "id",
@@ -264,19 +303,34 @@ def simhash_near_dups(
             ])
         ).alias("b"),
     ).select("id", "sim", "b.blk", "b.blk_val")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    buckets = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "sim"))).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    bucket_truncated = (F.size("members") > max_bucket).alias("bucket_truncated")
+    members = F.slice("members", 1, max_bucket)
+    pair_struct = F.explode(
+        F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(members, i + 2, max_bucket),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        F.bit_count(x["sim"].bitwiseXOR(y["sim"])).alias("hamming"),
+                    ),
+                ),
+            )
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.blk_val") == F.col("b.blk_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets.select(pair_struct.alias("p"), bucket_truncated)
+        .where(F.col("p.hamming") <= max_hamming)
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(
+            F.first(F.col("p.hamming")).alias("hamming"),
+            F.max("bucket_truncated").alias("truncated"),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )

@@ -113,11 +113,22 @@ def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFr
     on the single task-partition window."""
     timeout = float(cfg.timeout)
     ts_sec = _ts_sec()
+    # a resume seed row carries the prior run's true creation time; the map
+    # ages from THAT, not from the seed's position ts (= prior lastevent_ts)
+    # — otherwise a resumed map whose absolute timeout crosses during this
+    # run splits late and resume(chunk2, open(chunk1)) diverges from the
+    # single full run (the invariant plans/resume.py documents as tested).
+    if "_seed_creation_ts" in part.columns:
+        creation_src = F.coalesce(
+            F.col("_seed_creation_ts").cast("timestamp").cast("double"), ts_sec
+        )
+    else:
+        creation_src = ts_sec
     part = part.withColumn("_age_seg", F.lit(0))
     for _ in range(passes):
         grp_start = seg_start_flag()
         creation = _running(
-            F.max(F.when(grp_start, F.struct(F.col(ORDER_COL).alias("o"), ts_sec.alias("t"))))
+            F.max(F.when(grp_start, F.struct(F.col(ORDER_COL).alias("o"), creation_src.alias("t"))))
         )["t"]
         crossed = ts_sec - creation > F.lit(timeout)
         part = part.withColumn(
@@ -130,49 +141,150 @@ def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFr
 def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Exact per-task scan via applyInPandas (SURVEY.md §7 hard part 1).
 
+    Two tiers inside the scan:
+
+    - **fast path** (the common shape — every row ``create_or_update``,
+      no per-map overrides): session-hop with numpy ``searchsorted``. Each
+      session's end is found in O(log n) — the next inactivity gap from a
+      precomputed flag array, the next age crossing by binary search on
+      the sorted ``ts`` — so work is O(#sessions · log n), not O(rows).
+      A 1M-row hot task with a handful of sessions costs a handful of
+      hops instead of a million interpreted iterations.
+    - **exact state machine** (tasks with ``create``/``update`` guard
+      actions or live per-map overrides): per-row replay of the
+      reference's filter hot path (``aggregate.rb:179-246``), including
+      the orderings the window mode approximates: the expiry check runs
+      *before* the map-action guard (``aggregate.rb:194-199``), a
+      duplicate ``create`` returns before touching ``lastevent_timestamp``
+      (``aggregate.rb:216`` precedes ``:220``) so it must NOT refresh the
+      inactivity clock, and an ``update`` with no live map is a total
+      no-op (``aggregate.rb:203``) that neither creates nor refreshes.
+
     Groups are single tasks — bounded by the reference's own working-set
     assumption (one in-memory map per task, warning at 5000 maps,
-    ``aggregate.rb:499-516``) — so a per-group scan is small; the outer
-    loop over groups is Arrow-batched. Honors per-map ``map_meta.timeout``
-    / ``inactivity_timeout`` overrides (``aggregate.rb:243-246,396-397``):
-    an override set by any row of the live map applies to that map's
-    subsequent expiry checks.
+    ``aggregate.rb:499-516``). Resume seed rows age from their carried
+    ``_seed_creation_ts``, not their injection position.
     """
     timeout = float(cfg.timeout)
     inactivity = float(cfg.effective_inactivity_timeout)
     out_schema = part.withColumn("_age_seg", F.lit(0).cast("int")).schema
+    has_seed_cols = "_seed_creation_ts" in part.columns
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
-        ts = pdf["ts"].astype("int64").to_numpy() / 1e9
-        end_seg = pdf["_end_seg"].to_numpy()
-        cust_to = pdf["_custom_timeout"].to_numpy()
-        cust_in = pdf["_custom_inactivity"].to_numpy()
-        n = len(pdf)
-        age = [0] * n
+    import numpy as np
+
+    def _fast(ts, end_seg, seed_creation0, age):
+        """All-create_or_update, no-override hop scan. Splits per end_seg
+        block; within a block, hop session starts via searchsorted."""
+        n = len(ts)
+        # gap-split candidates: rows whose delta to the previous row
+        # exceeds the inactivity timeout (strict >, aggregate.rb:397)
+        gap_rows = np.flatnonzero(np.diff(ts) > inactivity) + 1
+        block_starts = np.concatenate(
+            ([0], np.flatnonzero(end_seg[1:] != end_seg[:-1]) + 1, [n])
+        )
+        for bi in range(len(block_starts) - 1):
+            s, e = int(block_starts[bi]), int(block_starts[bi + 1])
+            cur = 0
+            start = s
+            while start < e:
+                creation = (
+                    seed_creation0
+                    if (start == 0 and seed_creation0 is not None)
+                    else ts[start]
+                )
+                # next inactivity gap strictly after the session start
+                gi = np.searchsorted(gap_rows, start + 1)
+                g = int(gap_rows[gi]) if gi < len(gap_rows) else e
+                # next absolute-age crossing: first row with ts > creation+timeout
+                a = start + 1 + int(
+                    np.searchsorted(ts[start + 1 : e], creation + timeout, side="right")
+                )
+                nxt = min(g, a, e)
+                age[start:nxt] = cur
+                cur += 1
+                start = nxt
+
+    def _slow(ts, end_seg, action, cust_to, cust_in, seed_creation, age):
+        """Per-row replay of aggregate.rb:179-246 (see docstring)."""
+        n = len(ts)
         cur = 0
+        has_map = False
         creation = last = 0.0
         eff_to, eff_in = timeout, inactivity
         prev_end = None
         for i in range(n):
             if end_seg[i] != prev_end:
                 # hard boundary: previous map deleted by end_of_task/custom0
-                cur, creation, last = 0, ts[i], ts[i]
+                cur = 0
+                has_map = False
                 eff_to, eff_in = timeout, inactivity
                 prev_end = end_seg[i]
-            else:
-                # gap + age expiry with live per-map overrides
-                # (aggregate.rb:396-398,431-433)
-                if (ts[i] - creation > eff_to) or (ts[i] - last > eff_in):
-                    cur += 1
-                    creation = ts[i]
-                    eff_to, eff_in = timeout, inactivity
+            # event-time expiry on arrival runs BEFORE the guard
+            # (aggregate.rb:194-199): the expired map dies even if this
+            # row then fails its map_action guard
+            if has_map and (
+                (ts[i] - creation > eff_to) or (ts[i] - last > eff_in)
+            ):
+                has_map = False
+                eff_to, eff_in = timeout, inactivity
+                cur += 1
+            if not has_map:
+                if action[i] == "update":
+                    # no-op: no map created, no clock started (aggregate.rb:203);
+                    # labeled with the upcoming generation, where the guard
+                    # stage excludes it (no prior creator in that segment)
+                    age[i] = cur
+                    continue
+                sc = seed_creation[i] if seed_creation is not None else None
+                creation = sc if sc is not None and sc == sc else ts[i]
                 last = ts[i]
+                has_map = True
+            else:
+                if action[i] == "create":
+                    # duplicate start: return BEFORE the lastevent update
+                    # (aggregate.rb:216) — the inactivity clock is NOT
+                    # refreshed, and the codeblock (overrides) never runs
+                    age[i] = cur
+                    continue
+                last = ts[i]
+            # the codeblock ran: per-map overrides take effect for the
+            # map's subsequent expiry checks (aggregate.rb:243-246,396-397)
             if cust_to[i] == cust_to[i] and cust_to[i] > 0:  # non-NaN, >0
                 eff_to = float(cust_to[i])
             if cust_in[i] == cust_in[i] and cust_in[i] > 0:
                 eff_in = float(cust_in[i])
             age[i] = cur
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        end_seg = pdf["_end_seg"].to_numpy()
+        cust_to = pdf["_custom_timeout"].to_numpy(dtype="float64", na_value=np.nan)
+        cust_in = pdf["_custom_inactivity"].to_numpy(dtype="float64", na_value=np.nan)
+        n = len(pdf)
+        age = np.zeros(n, dtype="int32")
+        action = pdf["_action"].to_numpy() if "_action" in pdf.columns else None
+        seed_creation = None
+        if has_seed_cols:
+            s = pdf["_seed_creation_ts"].astype("datetime64[ns]")
+            mask = s.isna().to_numpy()
+            sc = s.fillna(pd.Timestamp(0)).astype("int64").to_numpy() / 1e9
+            sc[mask] = np.nan
+            seed_creation = sc
+        all_cou = action is None or bool((action == "create_or_update").all())
+        no_overrides = not (np.nan_to_num(cust_to) > 0).any() and not (
+            np.nan_to_num(cust_in) > 0
+        ).any()
+        seed_ok = seed_creation is None or not np.isfinite(seed_creation[1:]).any()
+        if all_cou and no_overrides and seed_ok and n > 0:
+            sc0 = None
+            if seed_creation is not None and seed_creation[0] == seed_creation[0]:
+                sc0 = float(seed_creation[0])
+            _fast(ts, end_seg, sc0, age)
+        elif n > 0:
+            if action is None:
+                action = np.full(n, "create_or_update", dtype=object)
+            _slow(ts, end_seg, action, cust_to, cust_in, seed_creation, age)
         pdf = pdf.copy()
         # exact mode folds gap splits into _age_seg; zero _gap_seg so the
         # aggregate stage's (end, gap, age) grouping key stays uniform

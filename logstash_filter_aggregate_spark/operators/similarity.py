@@ -72,8 +72,8 @@ def hyperplane_signature(vec_col: Column, num_planes: int = 16, dim: int = 64) -
     Built as ONE nested higher-order expression (every lambda occurs
     exactly once): PySpark mis-binds lambda variables when several
     independently-built HOF trees are merged into a single expression
-    (verified in tests/test_similarity.py::test_hof_lambda_quirk), so the
-    per-plane loop lives inside a Catalyst ``transform``, not in Python.
+    (verified in tests/test_dedup_similarity.py::test_hof_lambda_quirk_workaround),
+    so the per-plane loop lives inside a Catalyst ``transform``, not in Python.
     """
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(num_planes - 1)),
@@ -145,21 +145,44 @@ def embedding_near_dup_pairs(
     num_planes: int = 16,
     dim: int = 64,
     min_cosine: float = 0.9,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-dup detection: bucket by full LSH signature
-    (high precision), verify candidates with the exact cosine."""
+    (high precision), verify candidates with the exact cosine.
+
+    Clustered embeddings (common in real corpora) make signature buckets
+    hot, so the bucket join is capped at ``max_bucket`` members with a
+    ``truncated`` disclosure column — the same safety valve as
+    ``dedup.minhash_lsh_candidates`` — instead of an uncapped self-join."""
     sigged = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         hyperplane_signature(F.col(vec_col), num_planes, dim).alias("sig"),
     )
-    a, b = sigged.alias("a"), sigged.alias("b")
-    return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    buckets = (
+        sigged.groupBy("sig")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    bucket_truncated = (F.size("members") > max_bucket).alias("truncated")
+    members = F.slice("members", 1, max_bucket)
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                members,
+                lambda x, i: F.transform(
+                    F.slice(members, i + 2, max_bucket),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        cosine(x["v"], y["v"]).alias("cos_sim"),
+                    ),
+                ),
+            )
         )
+    )
+    return (
+        buckets.select(pairs.alias("p"), bucket_truncated)
+        .select("p.id_a", "p.id_b", "p.cos_sim", "truncated")
         .where(F.col("cos_sim") >= min_cosine)
     )
 

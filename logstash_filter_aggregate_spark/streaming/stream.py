@@ -72,13 +72,36 @@ def session_window_aggregate(
     classified = classify(parsed, cfg)
     part = classified.where(F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
     gap = f"{cfg.effective_inactivity_timeout} seconds"
+    # event-time order key for order-sensitive fns: streaming aggregation
+    # is unordered, so first/last/collect_list ride on a struct min/max
+    # over this key — same `_ord` discipline as the batch engine.
+    ord_key = F.struct(F.col("ts"), F.col("conv_id"), F.col("turn_idx"))
     aggs = []
     for name, (fn, sources) in _merged_agg_specs(cfg).items():
         val = _value_expr(sources)
         if fn == "count":
             aggs.append(F.count(F.when(F.col("_rule_id").isin([r for r, _ in sources]), 1)).alias(name))
+        elif fn == "first":
+            # first non-null in EVENT-TIME order (not min-by-value)
+            aggs.append(
+                F.min(F.when(val.isNotNull(), F.struct(ord_key.alias("o"), val.alias("v"))))["v"].alias(name)
+            )
+        elif fn == "last":
+            aggs.append(
+                F.max(F.when(val.isNotNull(), F.struct(ord_key.alias("o"), val.alias("v"))))["v"].alias(name)
+            )
+        elif fn in ("collect_list", "collect_set"):
+            items = F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(val.isNotNull(), F.struct(ord_key.alias("o"), val.alias("v")))
+                    )
+                ),
+                lambda x: x["v"],
+            )
+            aggs.append((F.array_distinct(items) if fn == "collect_set" else items).alias(name))
         else:
-            aggs.append(getattr(F, fn if fn != "first" else "min")(val).alias(name))
+            aggs.append(getattr(F, fn)(val).alias(name))
     return (
         part.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("_task_id").alias("task_id"))
@@ -142,10 +165,16 @@ def _make_stateful_fn(cfg: PipelineConfig):
             (c, l, n, mj) = state.get
             st = dict(creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj)
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        # Spark gives NO ordering guarantee across the Arrow chunks of one
+        # key's group (a task whose micro-batch exceeds
+        # arrow.maxRecordsPerBatch arrives as several chunks) — materialize
+        # and sort ONCE so hot tasks keep event-time order end-to-end.
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+            whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
             # dict records: itertuples mangles underscore-prefixed names
-            for row in pdf.to_dict("records"):
+            for row in whole.to_dict("records"):
                 rule = next((r for r in rules if r["rule_id"] == row["_rule_id"]), None)
                 if rule is None:
                     continue

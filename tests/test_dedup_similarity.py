@@ -162,3 +162,43 @@ def test_ivf_topk_contains_strong_matches(emb):
     # probing all 8 cells = exhaustive -> must equal brute force
     brute = similarity.brute_force_topk(emb, list(q), k=5).collect()
     assert [r.vec_id for r in rows] == [r.vec_id for r in brute]
+
+
+def test_minhash_degenerate_bucket_truncated(spark):
+    # 400 identical docs: every band bucket holds all of them. The cap
+    # bounds the pair explosion and the coverage loss is disclosed.
+    rows = [(i, "the same exact boilerplate text repeated in every document") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.minhash_lsh_candidates(df, k=3, num_hashes=16, bands=8, max_bucket=8).collect()
+    assert len(out) == 8 * 7 // 2  # capped, not 400*399/2
+    assert all(r.truncated for r in out)
+
+
+def test_simhash_degenerate_bucket_truncated(spark):
+    rows = [(i, "identical words everywhere") for i in range(400)]
+    rows += [(9001, "alpha beta gamma delta epsilon zeta"), (9002, "unrelated totally different content here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.simhash_near_dups(df, max_hamming=3, max_bucket=16).collect()
+    hot = [r for r in out if r.id_a < 9000 and r.id_b < 9000]
+    assert len(hot) == 16 * 15 // 2
+    assert all(r.truncated for r in hot)
+
+
+def test_embedding_degenerate_bucket_truncated(spark):
+    v = [0.5] * 16
+    rows = [(i, v) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(df, num_planes=8, dim=16, min_cosine=0.99, max_bucket=10).collect()
+    assert len(out) == 10 * 9 // 2
+    assert all(r.truncated for r in out)
+
+
+def test_ngram_jaccard_max_df_cut(spark):
+    # one ubiquitous shingle shared by all docs: with the df cap it stops
+    # contributing join rows; without the cap every pair appears
+    rows = [(i, f"lorem ipsum dolor unique{i} tokens{i} here{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = dedup.ngram_jaccard_pairs(df, k=3, min_jaccard=0.0, max_df=5).collect()
+    assert capped == []
+    uncapped = dedup.ngram_jaccard_pairs(df, k=3, min_jaccard=0.0, max_df=None).collect()
+    assert len(uncapped) == 10 * 9 // 2

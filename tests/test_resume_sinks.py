@@ -119,3 +119,28 @@ def test_seed_schema_validation(spark):
     bogus = spark.createDataFrame([("x",)], "task_id string")
     with pytest.raises(ConfigurationError, match="lacks aggregate columns"):
         seed_rows_from_open(bogus, cfg)
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_resume_age_cap_crosses_after_split(spark, exact):
+    # the absolute timeout crosses AFTER the split boundary: the resumed
+    # run must age the seeded map from its true creation (_seed_creation_ts),
+    # not from the seed row's position ts (= prior lastevent_ts)
+    cfg = example3_config(timeout=100.0, inactivity_timeout=100.0, exact_age_cap=exact)
+    rows = [
+        ("c1", 0, "user", "INFO - t - Clicked One", "none", T0),
+        ("c1", 1, "user", "INFO - t - Clicked Two", "none", T0 + dt.timedelta(seconds=50)),
+        ("c1", 2, "user", "INFO - t - Clicked Three", "none", T0 + dt.timedelta(seconds=90)),
+        ("c1", 3, "user", "INFO - t - Clicked Four", "none", T0 + dt.timedelta(seconds=120)),
+    ]
+    full = spark.createDataFrame(rows, _SCHEMA)
+    c1 = full.where(F.col("ts") < F.lit(SPLIT))
+    c2 = full.where(F.col("ts") >= F.lit(SPLIT))
+
+    ref = run_pipeline(spark, full, cfg)
+    a = run_pipeline(spark, c1, cfg)
+    b = run_pipeline(spark, c2, cfg, open_maps=a.open.localCheckpoint())
+    # full run: {0,50,90} expires when +120 arrives (age 120 > 100) → pushed
+    assert [r.clicks for r in ref.timeout.collect()] == [3]
+    assert sorted(_fp(a.timeout) + _fp(b.timeout)) == _fp(ref.timeout)
+    assert _fp(b.open) == _fp(ref.open)

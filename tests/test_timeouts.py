@@ -190,3 +190,65 @@ def test_custom_timeout_positive_override_exact_mode(spark):
     )
     out_no = run_pipeline(spark, make_transcript(spark, rows), cfg_no)
     assert [s.clicks for s in out_no.sessions.collect()] == [3]
+
+
+def test_exact_age_fast_path_random_matches_python(spark):
+    # the exact-mode fast path (session-hop via searchsorted) against an
+    # independent per-row Python state machine on randomized gaps
+    import random
+
+    rng = random.Random(7)
+    rows, t = [], 0
+    for i in range(300):
+        t += rng.choice([1, 50, 200, 700])
+        rows.append((i, "INFO - t - SQL - q - 1", t))
+    cfg = example5_config(
+        timeout=600.0, inactivity_timeout=300.0, exact_age_cap=True,
+        push_map_as_event_on_timeout=False,
+    )
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+
+    sessions, creation, last, n = [], None, None, 0
+    for _, _, off in rows:
+        if creation is None:
+            creation, last, n = off, off, 1
+        elif off - creation > 600 or off - last > 300:
+            sessions.append(n)
+            creation, last, n = off, off, 1
+        else:
+            n, last = n + 1, off
+    sessions.append(n)
+    got = sorted(r.queries for r in out.sessions.collect())
+    assert got == sorted(sessions)
+
+
+def test_duplicate_create_does_not_refresh_inactivity_exact(spark):
+    # aggregate.rb:216 returns BEFORE the lastevent update (:220): a
+    # duplicate start must not refresh the inactivity clock. create t=0,
+    # duplicate create t=50, update t=100 with inactivity=60: the map
+    # expires at t=100 (last clock touch was t=0).
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "start", "logger = 'TASK_START'", map_action="create",
+                aggs=(AggSpec("n", "count"),),
+            ),
+            CorrelationRule(
+                "upd", "logger = 'SQL'",
+                aggs=(AggSpec("n", "count"),),
+            ),
+        ),
+        timeout=600.0, inactivity_timeout=60.0, exact_age_cap=True,
+        push_map_as_event_on_timeout=True,
+    )
+    rows = [
+        (0, "INFO - t - TASK_START - begin", 0),
+        (1, "INFO - t - TASK_START - begin", 50),   # duplicate: no-op, no clock refresh
+        (2, "INFO - t - SQL - q - 1", 100),         # gap from t=0 is 100 > 60 → expired
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = out.timeout.collect()
+    assert len(pushed) == 1 and pushed[0].n == 1
+    assert pushed[0].lastevent_ts == T0  # the duplicate at +50 never touched the clock
+    assert [r.n for r in out.open.collect()] == [1]
