@@ -2,9 +2,17 @@
 
 ``queries()`` exposes one entry per implemented operator from SURVEY.md
 §2 (plus the training-pipeline extras); ``oracle_sql()`` gives the
-DuckDB-equivalent ANSI SQL over the same parquet tables. Operators whose
-primitives DuckDB lacks (xxhash64-based MinHash/SimHash/LSH, the pandas
-grok backend) are rows-only checks — noted inline.
+DuckDB-equivalent ANSI SQL over the same parquet tables.
+
+Every per-operator query is routed THROUGH the package operators
+(``classify``/``sessionize``/``apply_guards``/``aggregate_sessions``/
+``route_sessions``/``run_pipeline``), so the oracle certifies the engine
+code itself, not a parallel reimplementation. Operators whose primitives
+DuckDB lacks entirely (xxhash64-based SimHash buckets, hyperplane
+signatures for near-dup pairs) are rows-only checks — noted inline; the
+MinHash+LSH and LSH-top-k paths carry *property oracles*: their output is
+verified against the exact Jaccard / exact cosine computed independently
+in SQL.
 
 Column-name discipline: every computed column is aliased identically in
 the Spark query and the oracle SQL (the driver sorts columns by name
@@ -17,12 +25,29 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
-from logstash_filter_aggregate_spark.operators import dedup, similarity, textstats, multimodal
-from logstash_filter_aggregate_spark.plans.pipeline import run_pipeline
+from logstash_filter_aggregate_spark.config import (
+    ORDER_COL,
+    TASK_ID_COL,
+    AggSpec,
+    ConfigurationError,
+    CorrelationRule,
+    PipelineConfig,
+    validate_configs,
+)
+from logstash_filter_aggregate_spark.operators import dedup, multimodal, similarity, textstats
+from logstash_filter_aggregate_spark.operators.classify import classify, task_id_expr
+from logstash_filter_aggregate_spark.operators.correlate import (
+    _timeout_event,
+    aggregate_sessions,
+    apply_guards,
+    route_sessions,
+)
+from logstash_filter_aggregate_spark.operators.sessionize import sessionize
+from logstash_filter_aggregate_spark.plans.multi import map_count_gauge, run_multi
+from logstash_filter_aggregate_spark.plans.pipeline import compile_groks, run_pipeline
 from logstash_filter_aggregate_spark.sources.transcripts import events_as_transcripts
 
 # ---------------------------------------------------------------------------
@@ -41,11 +66,6 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-# the per-user event order used everywhere (engine ORDER_BY analog);
-# a function because Window specs need an active session
-def _w_user():
-    return W.partitionBy("user_id").orderBy("ts", "event_id")
-
 GAP_S = 21_600.0        # 6h inactivity gap for the sessionization queries
 AGE_S = 86_400.0        # 24h absolute age cap
 BIG_TIMEOUT = 1e9       # effectively disables a timeout dimension
@@ -60,6 +80,41 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
             float(x) for x in _emb(spark, sf_dir).where("vec_id = 0").first()["embedding"]
         ]
     return _QVEC_CACHE[sf_dir]
+
+
+def _events_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table in classified-ready shape: the engine's ORDER_BY is
+    (ts, conv_id, turn_idx), so turn_idx := event_id reproduces the oracle's
+    ORDER BY ts, event_id tiebreak exactly."""
+    return _events(spark, sf_dir).select(
+        "user_id", "event_type", "value", "event_id", "ts",
+        F.lit("c").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+    )
+
+
+def _engine_sessions(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
+    """classify -> sessionize -> guards -> aggregate through the package."""
+    cl = classify(_events_shaped(spark, sf_dir), cfg)
+    g = apply_guards(sessionize(cl, cfg), cfg)
+    return aggregate_sessions(g, cfg)
+
+
+def _engine_routed(spark: SparkSession, sf_dir: str, cfg: PipelineConfig):
+    shaped = _events_shaped(spark, sf_dir)
+    cl = classify(shaped, cfg)
+    g = apply_guards(sessionize(cl, cfg), cfg)
+    return route_sessions(aggregate_sessions(g, cfg), cfg, watermark_df=shaped)
+
+
+def _any_rule_cfg(**kw) -> PipelineConfig:
+    defaults = dict(
+        task_id="%{user_id}",
+        rules=(CorrelationRule("any", "event_type is not null"),),
+        timeout=BIG_TIMEOUT,
+    )
+    defaults.update(kw)
+    return PipelineConfig(**defaults)
 
 
 # ---------------------------------------------------------------------------
@@ -110,8 +165,6 @@ EVENT_GROK = [(
 
 
 def _pipe_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logstash_filter_aggregate_spark.plans.pipeline import compile_groks
-
     t = events_as_transcripts(spark, sf_dir)
     out = run_pipeline(spark, t, _start_end_config(), groks=compile_groks(EVENT_GROK))
     return out.completed.select(
@@ -122,8 +175,6 @@ def _pipe_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipe_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from logstash_filter_aggregate_spark.plans.pipeline import compile_groks
-
     t = events_as_transcripts(spark, sf_dir)
     out = run_pipeline(spark, t, _gap_config(), groks=compile_groks(EVENT_GROK))
     return out.timeout.select(
@@ -133,6 +184,139 @@ def _pipe_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipe_push_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O20 through the engine: task id = calendar day, which is
+    contiguous in global event-time order — each day's map is pushed when
+    the next day's first event arrives (aggregate.rb:205-208,314-320);
+    only the globally-last map carries _aggregatefinalflush
+    (aggregate.rb:348-351)."""
+    t = events_as_transcripts(spark, sf_dir).withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    cfg = PipelineConfig(
+        task_id="%{day}",
+        rules=(
+            CorrelationRule(
+                "any", "etype is not null",
+                aggs=(AggSpec("n_ev", "count"), AggSpec("val_total", "sum", "val")),
+            ),
+        ),
+        timeout=BIG_TIMEOUT,
+        push_previous_map_as_event=True,
+        timeout_task_id_field="day_key",
+    )
+    out = run_pipeline(spark, t, cfg, groks=compile_groks(EVENT_GROK))
+    return out.timeout.select(
+        "day_key", "n_ev",
+        F.col("val_total").cast("long").alias("val_total"),
+        "creation_ts", "lastevent_ts",
+        F.array_contains("tags", "_aggregatefinalflush").alias("final_flush"),
+    )
+
+
+def _pipe_custom_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O17 through the engine: error rows carry map_meta.timeout=0
+    (immediate eviction+push -> inline bucket, spec:392-409); signup rows
+    set a 3600s per-map override (>0 path, spec:410-421) that decides
+    expiry against the end-of-input watermark."""
+    t = events_as_transcripts(spark, sf_dir)
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("err", "etype = 'error'", custom_timeout="0.0"),
+            CorrelationRule("sign", "etype = 'signup'", custom_timeout="3600.0"),
+            CorrelationRule(
+                "any", "etype is not null",
+                aggs=(AggSpec("n_ev", "count"), AggSpec("val_total", "sum", "val")),
+            ),
+        ),
+        timeout=BIG_TIMEOUT,
+        push_map_as_event_on_timeout=True,
+        timeout_task_id_field="uid",
+    )
+    out = run_pipeline(spark, t, cfg, groks=compile_groks(EVENT_GROK))
+
+    def sel(df: DataFrame, bucket: str) -> DataFrame:
+        return df.select(
+            F.lit(bucket).alias("bucket"), "uid", "n_ev",
+            F.coalesce(F.col("val_total"), F.lit(0)).cast("long").alias("val_total"),
+            "creation_ts", "lastevent_ts",
+        )
+
+    open_maps = out.open.withColumn("uid", F.col("task_id"))
+    return (
+        sel(out.inline, "inline")
+        .unionByName(sel(out.timeout, "timeout"))
+        .unionByName(sel(open_maps, "open"))
+    )
+
+
+def _route_counts_config() -> PipelineConfig:
+    return PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "err", "etype = 'error'", cancel=True,
+                emit={"uid": "taskid", "err_val": "val"},
+            ),
+            CorrelationRule("end", "etype = 'purchase'", end_of_task=True),
+            CorrelationRule("any", "etype is not null", aggs=(AggSpec("n_ev", "count"),)),
+        ),
+        timeout=BIG_TIMEOUT,
+    )
+
+
+def _pipe_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/U3/O22 from ONE run_pipeline call: per-sink routed counts with
+    cancel (error rows consumed from the passthrough, docs:235,244) and
+    inline emissions (new_event_block, aggregate.rb:91,226)."""
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, _route_counts_config(), groks=compile_groks(EVENT_GROK))
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
+        for name, df in out.as_dict().items()
+        if name != "sessions"
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _o18_inline_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18: the emitted rows themselves (content-level check)."""
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, _route_counts_config(), groks=compile_groks(EVENT_GROK))
+    return out.inline.select("uid", F.col("err_val").cast("long").alias("err_val"))
+
+
+def _pipe_resume_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 through the engine: split the stream at its midpoint, seed run B
+    with run A's open maps (the aggregate_maps_path reload analog,
+    aggregate.rb:136-140), and return the UNION of both runs' timeout
+    pushes — which must equal the single full run (= the plain gap oracle)."""
+    t = events_as_transcripts(spark, sf_dir)
+    cfg = _gap_config()
+    mm = t.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    split = mm["a"] + (mm["b"] - mm["a"]) / 2
+    c1 = t.where(F.col("ts") < F.lit(split))
+    c2 = t.where(F.col("ts") >= F.lit(split))
+    a = run_pipeline(spark, c1, cfg, groks=compile_groks(EVENT_GROK))
+    b = run_pipeline(
+        spark, c2, cfg, groks=compile_groks(EVENT_GROK),
+        open_maps=a.open.localCheckpoint(),
+    )
+
+    def sel(o) -> DataFrame:
+        return o.timeout.select(
+            "uid", "n_ev",
+            F.col("val_total").cast("long").alias("val_total"),
+            "creation_ts", "lastevent_ts", "several",
+        )
+
+    return sel(a).unionByName(sel(b))
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -140,130 +324,125 @@ def _pipe_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # --- O2: task-id extraction + unresolved-skip (aggregate.rb:182-183)
+    # --- O2: task-id extraction + unresolved-skip through task_id_expr
+    # (the sprintf-compile path, aggregate.rb:182-183)
     def o02(spark, sf):
         ev = _events(spark, sf)
         return (
-            ev.select(F.format_string("conv-%d", "user_id").alias("task_id"))
+            ev.select(task_id_expr("conv-%{user_id}").alias("task_id"))
             .where(F.col("task_id").isNotNull())
             .groupBy("task_id")
             .agg(F.count(F.lit(1)).alias("n"))
         )
     q["o02_task_id_extract"] = o02
 
-    # --- O4/O5: map creation + last-event tracking (aggregate.rb:211-221)
+    # --- O4/O5: map creation + last-event tracking via aggregate_sessions
     def o04(spark, sf):
-        return (
-            _events(spark, sf)
-            .groupBy("user_id")
-            .agg(
-                F.min("ts").alias("creation_ts"),
-                F.max("ts").alias("lastevent_ts"),
-                F.count(F.lit(1)).alias("nevents"),
-            )
+        sess = _engine_sessions(spark, sf, _any_rule_cfg())
+        return sess.select(
+            F.col("task_id").alias("user_id"), "creation_ts", "lastevent_ts", "nevents"
         )
     q["o04_map_lifecycle_meta"] = o04
 
     # --- O6: the aggregation dictionary (sum/count/min/max/first/last)
+    # through the engine's _agg_column entries
     def o06(spark, sf):
-        ev = _events(spark, sf)
-        dec = F.col("value").cast("decimal(18,6)")
-        return ev.groupBy("user_id").agg(
-            F.sum(F.when(F.col("event_type") == "click", dec)).cast("double").alias("click_value_sum"),
-            F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.min(F.when(F.col("value").isNotNull(), F.struct("event_id", "event_type")))["event_type"].alias("first_type"),
-            F.max(F.struct("event_id", "event_type"))["event_type"].alias("last_type"),
+        cfg = _any_rule_cfg(rules=(
+            CorrelationRule("any", "event_type is not null", aggs=(
+                AggSpec("click_value_sum", "sum",
+                        "CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END"),
+                AggSpec("clicks", "sum", "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"),
+                AggSpec("min_value", "min", "value"),
+                AggSpec("max_value", "max", "value"),
+                AggSpec("first_type", "first", "CASE WHEN value IS NOT NULL THEN event_type END"),
+                AggSpec("last_type", "last", "CASE WHEN value IS NOT NULL THEN event_type END"),
+            )),
+        ))
+        sess = _engine_sessions(spark, sf, cfg)
+        return sess.select(
+            F.col("task_id").alias("user_id"),
+            F.col("click_value_sum").cast("double").alias("click_value_sum"),
+            F.col("clicks").cast("long").alias("clicks"),
+            "min_value", "max_value", "first_type", "last_type",
         )
     q["o06_agg_dictionary"] = o06
 
-    # --- O7: end-event enrichment — running aggregate evaluated at end rows
+    # --- O7/O8: end-event enrichment on the completed bucket (the map's
+    # aggregate lands on the task-closing event, aggregate.rb:226,240)
     def o07(spark, sf):
-        ev = _events(spark, sf)
-        run = F.sum(
-            F.when(F.col("event_type") == "click", F.col("value").cast("decimal(18,6)"))
-        ).over(_w_user().rowsBetween(W.unboundedPreceding, -1))
-        return (
-            ev.withColumn("sql_duration", F.coalesce(run, F.lit(0)).cast("double"))
-            .where(F.col("event_type") == "purchase")
-            .select("user_id", "event_id", "sql_duration")
+        cfg = _any_rule_cfg(rules=(
+            CorrelationRule("click", "event_type = 'click'",
+                            aggs=(AggSpec("sql_duration", "sum", "CAST(value AS DECIMAL(18,6))"),)),
+            CorrelationRule("end", "event_type = 'purchase'", end_of_task=True),
+            CorrelationRule("any", "event_type is not null"),
+        ))
+        routed = _engine_routed(spark, sf, cfg)
+        return routed.completed.select(
+            F.col("task_id").alias("user_id"),
+            F.col("end_turn_idx").cast("long").alias("event_id"),
+            F.coalesce(F.col("sql_duration"), F.lit(0)).cast("double").alias("sql_duration"),
         )
     q["o07_end_enrichment"] = o07
 
-    # --- O8: end-of-task instance split (running count of prior end markers)
+    # --- O8: end-of-task instance split via sessionize's _end_seg
     def o08(spark, sf):
-        ev = _events(spark, sf)
-        seg = F.coalesce(
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).over(
-                _w_user().rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        )
-        return (
-            ev.withColumn("instance", seg.cast("long"))
-            .groupBy("user_id", "instance")
-            .agg(F.count(F.lit(1)).alias("nevents"), F.min("ts").alias("creation_ts"))
+        cfg = _any_rule_cfg(rules=(
+            CorrelationRule("end", "event_type = 'purchase'", end_of_task=True),
+            CorrelationRule("any", "event_type is not null"),
+        ))
+        sess = _engine_sessions(spark, sf, cfg)
+        return sess.select(
+            F.col("task_id").alias("user_id"),
+            F.col("_end_seg").cast("long").alias("instance"),
+            "nevents", "creation_ts",
         )
     q["o08_end_of_task_split"] = o08
 
-    # --- O9: absolute-age expiry flags (aggregate.rb:396)
+    # --- O9: absolute-age expiry flags via the engine's window age pass
+    # (single pass == "crossed relative to first creation", aggregate.rb:396)
     def o09(spark, sf):
-        ev = _events(spark, sf)
-        ts_d = F.col("ts").cast("timestamp").cast("double")
-        creation = F.min(ts_d).over(W.partitionBy("user_id"))
-        flagged = ev.select(
-            "user_id", F.when(ts_d - creation > AGE_S, 1).otherwise(0).alias("flag")
+        from logstash_filter_aggregate_spark.operators.sessionize import _w, _window_age_seg
+
+        part = (
+            _events_shaped(spark, sf)
+            .withColumn(TASK_ID_COL, F.col("user_id").cast("string"))
+            .withColumn(ORDER_COL, F.row_number().over(_w()))
+            .withColumn("_end_seg", F.lit(0))
+            .withColumn("_gap_seg", F.lit(0))
         )
-        return flagged.groupBy("user_id").agg(F.sum("flag").alias("n_past_age_cap"))
+        cfg = _any_rule_cfg(timeout=AGE_S)
+        flagged = _window_age_seg(part, cfg, passes=1)
+        return flagged.groupBy(F.col(TASK_ID_COL).alias("user_id")).agg(
+            F.sum((F.col("_age_seg") > 0).cast("int")).cast("long").alias("n_past_age_cap")
+        )
     q["o09_age_cap_flags"] = o09
 
-    # --- O10/O12: inactivity-gap sessionization (lag/ts-delta flags)
+    # --- O10/O12: inactivity-gap sessionization via sessionize's _gap_seg
     def o10(spark, sf):
-        ev = _events(spark, sf)
-        ts_d = F.col("ts").cast("timestamp").cast("double")
-        gap = F.when(ts_d - F.lag(ts_d).over(_w_user()) > GAP_S, 1).otherwise(0)
-        sess = F.sum(gap).over(_w_user().rowsBetween(W.unboundedPreceding, 0))
-        return (
-            ev.withColumn("session_idx", sess.cast("long"))
-            .groupBy("user_id", "session_idx")
-            .agg(
-                F.count(F.lit(1)).alias("nevents"),
-                F.min("ts").alias("creation_ts"),
-                F.max("ts").alias("lastevent_ts"),
-            )
+        cfg = _any_rule_cfg(inactivity_timeout=GAP_S)
+        sess = _engine_sessions(spark, sf, cfg)
+        return sess.select(
+            F.col("task_id").alias("user_id"),
+            F.col("_gap_seg").cast("long").alias("session_idx"),
+            "nevents", "creation_ts", "lastevent_ts",
         )
     q["o10_gap_sessionize"] = o10
 
-    # --- O13/O14: timeout-event construction + timeout_code
+    # --- O13/O14: timeout-event construction via _timeout_event
     def o13(spark, sf):
-        sess = o10(spark, sf)
-        return sess.select(
-            F.format_string("conv-%d", "user_id").alias("timeout_task_id"),
-            "nevents",
-            (F.col("nevents") > 1).alias("several_events"),
-            F.lit("_aggregatetimeout").alias("tag"),
-            "creation_ts",
+        cfg = _any_rule_cfg(
+            inactivity_timeout=GAP_S,
+            timeout_task_id_field="timeout_task_id",
+            timeout_tags=("_aggregatetimeout",),
+            timeout_code={"several_events": "nevents > 1"},
+        )
+        sess = _engine_sessions(spark, sf, cfg)
+        ev = _timeout_event(sess, cfg, final_col=None)
+        return ev.select(
+            "timeout_task_id", "nevents", "several_events",
+            F.element_at("tags", 1).alias("tag"), "creation_ts",
         )
     q["o13_timeout_projection"] = o13
-
-    # --- O16: push-previous contiguous runs over global order
-    def o16(spark, sf):
-        ev = _events(spark, sf)
-        w_all = W.orderBy("ts", "event_id")
-        chg = F.when(F.lag("user_id").over(w_all).isNull(), 1).when(
-            F.lag("user_id").over(w_all) != F.col("user_id"), 1
-        ).otherwise(0)
-        run = F.sum(chg).over(w_all.rowsBetween(W.unboundedPreceding, 0))
-        return (
-            ev.withColumn("run_id", run.cast("long"))
-            .groupBy("run_id")
-            .agg(
-                F.min("user_id").alias("user_id"),
-                F.count(F.lit(1)).alias("run_len"),
-            )
-        )
-    q["o16_push_previous_runs"] = o16
 
     # --- U2: conditional routing / event-kind classification
     def u02(spark, sf):
@@ -295,39 +474,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["u04_broadcast_enrich"] = u04
 
-    # --- O19: exception capture + tagging analog
+    # --- O19: exception capture + tagging via passthrough_stream
     def o19(spark, sf):
-        ev = _events(spark, sf)
-        bad = F.col("value").isNull() | (F.col("value") < 0)
-        return ev.groupBy("event_type").agg(
-            F.sum(F.when(bad, 1).otherwise(0)).alias("n_tagged"),
+        from logstash_filter_aggregate_spark.plans.pipeline import passthrough_stream
+
+        cfg = _any_rule_cfg(rules=(
+            CorrelationRule("val", "event_type is not null", aggs=(
+                AggSpec("v", "sum", "CASE WHEN value >= 0 THEN value END", required=True),
+            )),
+        ))
+        shaped = _events_shaped(spark, sf).withColumn(
+            "parse_tags", F.array().cast("array<string>")
+        )
+        pt = passthrough_stream(classify(shaped, cfg), cfg)
+        return pt.groupBy("event_type").agg(
+            F.sum(F.array_contains("tags", "_aggregateexception").cast("int"))
+            .cast("long").alias("n_tagged"),
             F.count(F.lit(1)).alias("n_total"),
         )
     q["o19_exception_tags"] = o19
 
-    # --- O23: live-map count gauge (exact for the oracle)
+    # --- O22/O23: live-map count gauge over the engine's routed sessions
     def o23(spark, sf):
-        return _events(spark, sf).agg(
-            F.count_distinct("user_id").alias("live_maps"),
-            (F.count_distinct("user_id") >= 50).alias("above_warning_threshold"),
+        routed = _engine_routed(spark, sf, _any_rule_cfg(inactivity_timeout=GAP_S))
+        return map_count_gauge(routed.sessions, warning_threshold=50).select(
+            "pattern_id", "live_maps", "total_maps", "above_warning_threshold"
         )
     q["o23_map_count_gauge"] = o23
 
-    # --- O24: multi-pattern isolation — same events, two patterns
+    # --- O24: multi-pattern isolation via run_multi (two patterns, one stream)
     def o24(spark, sf):
-        ev = _events(spark, sf)
-        a = ev.groupBy(F.lit("by_user").alias("pattern_id"), F.col("user_id").cast("string").alias("task_id")).agg(
-            F.count(F.lit(1)).alias("n")
+        t = events_as_transcripts(spark, sf)
+        cfg_user = PipelineConfig(
+            task_id="%{taskid}", pattern_id="by_user",
+            rules=(CorrelationRule("any", "etype is not null"),), timeout=BIG_TIMEOUT,
         )
-        b = ev.groupBy(F.lit("by_type").alias("pattern_id"), F.col("event_type").alias("task_id")).agg(
-            F.count(F.lit(1)).alias("n")
+        cfg_type = PipelineConfig(
+            task_id="%{etype}", pattern_id="by_type",
+            rules=(CorrelationRule("any", "etype is not null"),), timeout=BIG_TIMEOUT,
         )
-        return a.unionByName(b)
+        outs = run_multi(spark, t, [cfg_user, cfg_type], groks=compile_groks(EVENT_GROK))
+        sel = lambda o: o.sessions.select("pattern_id", "task_id", F.col("nevents").alias("n"))  # noqa: E731
+        return sel(outs["by_user"]).unionByName(sel(outs["by_type"]))
     q["o24_multi_pattern_isolation"] = o24
+
+    # --- O25: register-time config validation (aggregate.rb:86-133,
+    # spec:15-31): each check attempted against the real config model
+    def o25(spark, sf):
+        cases: list[tuple[str, bool]] = []
+
+        def attempt(name: str, fn) -> None:
+            try:
+                fn()
+                cases.append((name, False))
+            except ConfigurationError:
+                cases.append((name, True))
+
+        ok_rule = CorrelationRule("a", "true")
+        attempt("task_id_without_pattern",
+                lambda: PipelineConfig(task_id="static", rules=(ok_rule,)))
+        attempt("inactivity_gt_timeout",
+                lambda: PipelineConfig(task_id="%{x}", rules=(ok_rule,),
+                                       timeout=10.0, inactivity_timeout=20.0))
+        attempt("inactivity_eq_timeout_ok",
+                lambda: PipelineConfig(task_id="%{x}", rules=(ok_rule,),
+                                       timeout=10.0, inactivity_timeout=10.0))
+        attempt("duplicate_rule_id",
+                lambda: PipelineConfig(task_id="%{x}",
+                                       rules=(ok_rule, CorrelationRule("a", "false"))))
+        attempt("unknown_agg_fn", lambda: AggSpec("x", "median", "v"))
+        attempt("agg_without_col", lambda: AggSpec("x", "sum"))
+        attempt("bad_map_action", lambda: CorrelationRule("a", "true", map_action="upsert"))
+        attempt("push_previous_needs_create_or_update",
+                lambda: PipelineConfig(
+                    task_id="%{x}",
+                    rules=(CorrelationRule("a", "true", map_action="create"),),
+                    push_previous_map_as_event=True))
+        attempt("timeout_nonpositive",
+                lambda: PipelineConfig(task_id="%{x}", rules=(ok_rule,), timeout=0.0))
+        attempt("no_rules", lambda: PipelineConfig(task_id="%{x}", rules=()))
+        attempt("duplicate_pattern_id",
+                lambda: validate_configs([
+                    PipelineConfig(task_id="%{x}", rules=(ok_rule,), pattern_id="p"),
+                    PipelineConfig(task_id="%{y}", rules=(ok_rule,), pattern_id="p"),
+                ]))
+        attempt("valid_config",
+                lambda: PipelineConfig(task_id="%{x}", rules=(ok_rule,)))
+        return spark.createDataFrame(cases, "check_name string, raises boolean")
+    q["o25_config_validation"] = o25
 
     # --- full-engine pipelines (grok parse -> correlate -> route)
     q["pipe_start_end_correlation"] = _pipe_start_end
     q["pipe_gap_timeout_push"] = _pipe_gap_timeout
+    q["pipe_push_previous"] = _pipe_push_previous          # O16 + O20
+    q["pipe_custom_timeout"] = _pipe_custom_timeout        # O17
+    q["pipe_route_counts"] = _pipe_route_counts            # U5 + U3 + O22
+    q["o18_inline_emissions"] = _o18_inline_emissions      # O18
+    q["pipe_resume_seeds"] = _pipe_resume_seeds            # O21
 
     # --- U1: grok/regex parse (JVM backend; pandas backend is rows-only)
     def u01(spark, sf):
@@ -350,9 +593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dd_ngram_jaccard"] = dd_jaccard
 
-    def dd_minhash(spark, sf):  # rows-only: DuckDB lacks xxhash64
-        return dedup.minhash_lsh_candidates(_docs(spark, sf), k=3, num_hashes=16, bands=8).select(
-            "id_a", "id_b", F.round("est_jaccard", 6).cast("double").alias("est_jaccard")
+    def dd_minhash(spark, sf):
+        # property oracle: with 16 bands of 1 row, the per-pair miss
+        # probability at jaccard >= 0.6 is (1-0.6)^16 ~= 4e-7, so LSH
+        # candidates ∩ exact-jaccard >= 0.6 must equal the exact pair set
+        # (recall check); the inner join bounds precision by construction.
+        d = _docs(spark, sf)
+        cand = dedup.minhash_lsh_candidates(d, k=3, num_hashes=16, bands=16, max_bucket=4096)
+        exact = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6)
+        return cand.join(exact, ["id_a", "id_b"]).select(
+            "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
         )
     q["dd_minhash_lsh"] = dd_minhash
 
@@ -366,8 +616,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
     q["sim_bruteforce_topk"] = sim_brute
 
-    def sim_lsh(spark, sf):  # rows-only: xxhash64 hyperplanes
-        out = similarity.lsh_topk(_emb(spark, sf), _query_vec(spark, sf), k=10, max_hamming=6)
+    def sim_lsh(spark, sf):
+        # property oracle built on the guarantee LSH actually provides:
+        # near-duplicate retrieval. Positive scaling preserves every
+        # hyperplane sign, so planted scaled copies of the query vector
+        # have hamming distance 0 AND cosine 1.0 — radius-0 pruning must
+        # retrieve exactly {query, planted copies} as the top-k while
+        # scanning only signature-equal rows. (Exact top-k over the
+        # near-random bulk is brute_force_topk's job, oracle'd above.)
+        emb = _emb(spark, sf)
+        qv = _query_vec(spark, sf)
+        qcol = F.array(*[F.lit(float(v)) for v in qv])
+        planted = spark.range(5).select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                qcol, lambda x: x * (F.lit(1.0) + (F.col("id") + 1) / F.lit(100.0))
+            ).cast("array<float>").alias("embedding"),
+        )
+        allv = emb.select("vec_id", "embedding").unionByName(planted)
+        out = similarity.lsh_topk(allv, qv, k=6, max_hamming=0)
         return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
     q["sim_lsh_topk"] = sim_lsh
 
@@ -399,12 +666,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ts_lang_fingerprint"] = ts_lang
 
-    def ts_bpe(spark, sf):  # rows-only companion metric for token estimate
+    def ts_bpe(spark, sf):
         d = _docs(spark, sf)
-        return d.select("doc_id", textstats.bpe_token_estimate("text").alias("bpe_tokens"))
+        return d.select(
+            "doc_id", textstats.bpe_token_estimate("text").cast("long").alias("bpe_tokens")
+        )
     q["ts_bpe_estimate"] = ts_bpe
 
-    # --- multimodal plumbing (payload bytes are SQL-checkable; features rows-only)
+    # --- multimodal plumbing
     def mm_meta(spark, sf):
         m = multimodal.synth_media(_docs(spark, sf))
         return m.groupBy("meta.kind").agg(
@@ -413,12 +682,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumnRenamed("kind", "kind")
     q["mm_binary_meta"] = mm_meta
 
-    def mm_features(spark, sf):  # rows-only: mapInPandas fake decoder
-        m = multimodal.synth_media(_docs(spark, sf).limit(200))
+    def mm_features(spark, sf):
+        # byte_sum = sum of the first 8 payload bytes, recovered exactly
+        # from the float32 features (x*255 rounds to the integer byte), so
+        # the mapInPandas fake decode is SQL-checkable from md5 hex.
+        m = multimodal.synth_media(_docs(spark, sf).where("doc_id < 200"))
         f = multimodal.extract_features(m, dim=8)
         return f.select(
             "media_id", "n_bytes",
-            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4).alias("feature_sum"),
+            F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double") * 255.0))
+            .cast("long").alias("byte_sum"),
         )
     q["mm_feature_extract"] = mm_features
 
@@ -435,7 +708,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracles
 # ---------------------------------------------------------------------------
 
-_PIPE_START_END_SQL = f"""
+_PIPE_START_END_SQL = """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,
          CAST(floor(value) AS BIGINT) AS val,
@@ -493,6 +766,26 @@ WHERE sess < (SELECT max(sess) FROM agg a2 WHERE a2.user_id = agg.user_id)
    OR extract(epoch FROM wm.w) - extract(epoch FROM lastevent_ts) > {GAP_S}
 """
 
+_GAP_SESSIONS_CTE = f"""
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN extract(epoch FROM ts) - lag(extract(epoch FROM ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_S}
+              THEN 1 ELSE 0 END AS gap_flag
+  FROM events
+),
+s AS (
+  SELECT *, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM t
+),
+agg AS (
+  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS nevents,
+         min(ts) AS creation_ts, max(ts) AS lastevent_ts
+  FROM s GROUP BY user_id, session_idx
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
@@ -501,29 +794,38 @@ def oracle_sql() -> dict[str, str]:
         "FROM events WHERE user_id IS NOT NULL GROUP BY user_id"
     )
     o["o04_map_lifecycle_meta"] = (
-        "SELECT user_id, min(ts) AS creation_ts, max(ts) AS lastevent_ts, "
-        "count(*) AS nevents FROM events GROUP BY user_id"
+        "SELECT CAST(user_id AS VARCHAR) AS user_id, min(ts) AS creation_ts, "
+        "max(ts) AS lastevent_ts, count(*) AS nevents FROM events "
+        "WHERE event_type IS NOT NULL GROUP BY user_id"
     )
     o["o06_agg_dictionary"] = """
-        SELECT user_id,
+        WITH r AS (
+          SELECT user_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
                CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click_value_sum,
-               count(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
                min(value) AS min_value,
                max(value) AS max_value,
-               min_by(event_type, event_id) FILTER (WHERE value IS NOT NULL) AS first_type,
-               max_by(event_type, event_id) AS last_type
-        FROM events GROUP BY user_id
+               arg_min(event_type, rn) FILTER (WHERE value IS NOT NULL) AS first_type,
+               arg_max(event_type, rn) FILTER (WHERE value IS NOT NULL) AS last_type
+        FROM r GROUP BY user_id
     """
     o["o07_end_enrichment"] = """
-        WITH r AS (
-          SELECT user_id, event_id, event_type,
-                 COALESCE(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
-          FROM events
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+          FROM events WHERE event_type IS NOT NULL
         )
-        SELECT user_id, event_id, CAST(run AS DOUBLE) AS sql_duration
-        FROM r WHERE event_type = 'purchase'
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN event_id END) AS BIGINT) AS event_id,
+               CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END), 0) AS DOUBLE) AS sql_duration
+        FROM e GROUP BY user_id, seg
+        HAVING bool_or(event_type = 'purchase')
     """
     o["o08_end_of_task_split"] = """
         WITH e AS (
@@ -531,76 +833,32 @@ def oracle_sql() -> dict[str, str]:
                  COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
                     PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS instance
-          FROM events
+          FROM events WHERE event_type IS NOT NULL
         )
-        SELECT user_id, CAST(instance AS BIGINT) AS instance, count(*) AS nevents, min(ts) AS creation_ts
+        SELECT CAST(user_id AS VARCHAR) AS user_id, CAST(instance AS BIGINT) AS instance,
+               count(*) AS nevents, min(ts) AS creation_ts
         FROM e GROUP BY user_id, instance
     """
     o["o09_age_cap_flags"] = f"""
         WITH e AS (
           SELECT user_id, extract(epoch FROM ts) AS tsec,
                  min(extract(epoch FROM ts)) OVER (PARTITION BY user_id) AS creation
-          FROM events
+          FROM events WHERE event_type IS NOT NULL
         )
-        SELECT user_id, CAST(sum(CASE WHEN tsec - creation > {AGE_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_past_age_cap
+        SELECT CAST(user_id AS VARCHAR) AS user_id,
+               CAST(sum(CASE WHEN tsec - creation > {AGE_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_past_age_cap
         FROM e GROUP BY user_id
     """
-    o["o10_gap_sessionize"] = f"""
-        WITH t AS (
-          SELECT user_id, ts,
-                 CASE WHEN extract(epoch FROM ts) - lag(extract(epoch FROM ts))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_S}
-                      THEN 1 ELSE 0 END AS gap_flag,
-                 event_id
-          FROM events
-        ),
-        s AS (
-          SELECT *, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-          FROM t
-        )
-        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS nevents,
-               min(ts) AS creation_ts, max(ts) AS lastevent_ts
-        FROM s GROUP BY user_id, session_idx
+    o["o10_gap_sessionize"] = _GAP_SESSIONS_CTE + """
+        SELECT CAST(user_id AS VARCHAR) AS user_id, session_idx, nevents,
+               creation_ts, lastevent_ts
+        FROM agg
     """
-    o["o13_timeout_projection"] = f"""
-        WITH t AS (
-          SELECT user_id, ts,
-                 CASE WHEN extract(epoch FROM ts) - lag(extract(epoch FROM ts))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > {GAP_S}
-                      THEN 1 ELSE 0 END AS gap_flag,
-                 event_id
-          FROM events
-        ),
-        s AS (
-          SELECT *, sum(gap_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-          FROM t
-        ),
-        agg AS (
-          SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS nevents, min(ts) AS creation_ts
-          FROM s GROUP BY user_id, session_idx
-        )
-        SELECT format('conv-{{}}', user_id) AS timeout_task_id, nevents,
+    o["o13_timeout_projection"] = _GAP_SESSIONS_CTE + """
+        SELECT CAST(user_id AS VARCHAR) AS timeout_task_id, nevents,
                nevents > 1 AS several_events,
                '_aggregatetimeout' AS tag, creation_ts
         FROM agg
-    """
-    o["o16_push_previous_runs"] = """
-        WITH c AS (
-          SELECT user_id, ts, event_id,
-                 CASE WHEN lag(user_id) OVER (ORDER BY ts, event_id) IS NULL THEN 1
-                      WHEN lag(user_id) OVER (ORDER BY ts, event_id) <> user_id THEN 1
-                      ELSE 0 END AS chg
-          FROM events
-        ),
-        r AS (
-          SELECT *, sum(chg) OVER (ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
-          FROM c
-        )
-        SELECT CAST(run_id AS BIGINT) AS run_id, min(user_id) AS user_id, count(*) AS run_len
-        FROM r GROUP BY run_id
     """
     o["u02_classify_route_counts"] = """
         SELECT CASE WHEN event_type = 'signup' THEN 'start'
@@ -625,10 +883,22 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_total
         FROM events GROUP BY event_type
     """
-    o["o23_map_count_gauge"] = (
-        "SELECT count(DISTINCT user_id) AS live_maps, "
-        "count(DISTINCT user_id) >= 50 AS above_warning_threshold FROM events"
-    )
+    o["o23_map_count_gauge"] = _GAP_SESSIONS_CTE + f"""
+        , a2 AS (
+          SELECT *, max(session_idx) OVER (PARTITION BY user_id) AS mx,
+                 (SELECT max(lastevent_ts) FROM agg) AS w
+          FROM agg
+        )
+        SELECT 'p0' AS pattern_id,
+               CAST(sum(CASE WHEN session_idx = mx
+                          AND extract(epoch FROM w) - extract(epoch FROM lastevent_ts) <= {GAP_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS live_maps,
+               count(*) AS total_maps,
+               CAST(sum(CASE WHEN session_idx = mx
+                          AND extract(epoch FROM w) - extract(epoch FROM lastevent_ts) <= {GAP_S}
+                         THEN 1 ELSE 0 END) AS BIGINT) >= 50 AS above_warning_threshold
+        FROM a2
+    """
     o["o24_multi_pattern_isolation"] = """
         SELECT 'by_user' AS pattern_id, CAST(user_id AS VARCHAR) AS task_id, count(*) AS n
         FROM events GROUP BY user_id
@@ -636,8 +906,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'by_type' AS pattern_id, event_type AS task_id, count(*) AS n
         FROM events GROUP BY event_type
     """
+    o["o25_config_validation"] = """
+        SELECT * FROM (VALUES
+          ('task_id_without_pattern', TRUE),
+          ('inactivity_gt_timeout', TRUE),
+          ('inactivity_eq_timeout_ok', FALSE),
+          ('duplicate_rule_id', TRUE),
+          ('unknown_agg_fn', TRUE),
+          ('agg_without_col', TRUE),
+          ('bad_map_action', TRUE),
+          ('push_previous_needs_create_or_update', TRUE),
+          ('timeout_nonpositive', TRUE),
+          ('no_rules', TRUE),
+          ('duplicate_pattern_id', TRUE),
+          ('valid_config', FALSE)
+        ) AS t(check_name, raises)
+    """
     o["pipe_start_end_correlation"] = _PIPE_START_END_SQL
     o["pipe_gap_timeout_push"] = _PIPE_GAP_SQL
+    o["pipe_push_previous"] = """
+        WITH d AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day_key, CAST(ts AS DATE) AS day,
+                 ts, CAST(floor(value) AS BIGINT) AS val
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        agg AS (
+          SELECT day_key, day, count(*) AS n_ev, CAST(sum(val) AS BIGINT) AS val_total,
+                 min(ts) AS creation_ts, max(ts) AS lastevent_ts
+          FROM d GROUP BY day_key, day
+        )
+        SELECT day_key, n_ev, val_total, creation_ts, lastevent_ts,
+               day = (SELECT max(day) FROM agg) AS final_flush
+        FROM agg
+    """
+    o["pipe_custom_timeout"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type, CAST(floor(value) AS BIGINT) AS val,
+                 COALESCE(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        agg AS (
+          SELECT CAST(user_id AS VARCHAR) AS uid, user_id, seg,
+                 CAST(sum(CASE WHEN event_type NOT IN ('error', 'signup') THEN 1 ELSE 0 END) AS BIGINT) AS n_ev,
+                 CAST(COALESCE(sum(CASE WHEN event_type NOT IN ('error', 'signup') THEN val END), 0) AS BIGINT) AS val_total,
+                 min(ts) AS creation_ts, max(ts) AS lastevent_ts,
+                 bool_or(event_type = 'error') AS has_err,
+                 bool_or(event_type = 'signup') AS has_sign
+          FROM e GROUP BY user_id, seg
+        ),
+        wm AS (SELECT max(lastevent_ts) AS w FROM agg)
+        SELECT CASE WHEN has_err THEN 'inline'
+                    WHEN has_sign AND extract(epoch FROM wm.w) - extract(epoch FROM creation_ts) > 3600
+                         THEN 'timeout'
+                    ELSE 'open' END AS bucket,
+               uid, n_ev, val_total, creation_ts, lastevent_ts
+        FROM agg, wm
+    """
+    o["pipe_route_counts"] = """
+        WITH last_ev AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT 'completed' AS sink, count(*) AS n FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'timeout' AS sink, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'inline' AS sink, count(*) AS n FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'open' AS sink, count(*) AS n FROM last_ev WHERE rn = 1 AND event_type <> 'purchase'
+        UNION ALL
+        SELECT 'passthrough' AS sink, count(*) AS n FROM events
+        WHERE event_type IS NOT NULL AND event_type <> 'error'
+    """
+    o["o18_inline_emissions"] = """
+        SELECT CAST(user_id AS VARCHAR) AS uid, CAST(floor(value) AS BIGINT) AS err_val
+        FROM events WHERE event_type = 'error'
+    """
+    o["pipe_resume_seeds"] = _PIPE_GAP_SQL
     o["u01_regex_parse"] = """
         WITH t AS (
           SELECT format('INFO - {} - EVENT - {} - {}', user_id, event_type,
@@ -654,10 +1002,10 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS canonical_id, count(*) AS n_copies
         FROM documents GROUP BY 1
     """
-    o["dd_ngram_jaccard"] = """
+    _NGRAM_SQL = """
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS t
-          FROM documents WHERE doc_id < 80
+          FROM documents {doc_filter}
         ),
         -- shingles joined with '|' (absent from normalized tokens), so tuple
         -- identity matches the engine's hash-chain shingles exactly
@@ -679,9 +1027,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b,
                CAST(round(n_inter * 1.0 / (n_a + n_b - n_inter), 6) AS DOUBLE) AS jaccard
         FROM inter
-        WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= 0.01
+        WHERE n_inter * 1.0 / (n_a + n_b - n_inter) >= {threshold}
     """
-    o["sim_bruteforce_topk"] = """
+    o["dd_ngram_jaccard"] = _NGRAM_SQL.format(doc_filter="WHERE doc_id < 80", threshold="0.01")
+    # property oracle for MinHash+LSH: candidates verified at exact
+    # jaccard >= 0.6 must equal the exact pair set (see queries())
+    o["dd_minhash_lsh"] = _NGRAM_SQL.format(doc_filter="", threshold="0.6")
+    _BRUTE_TOPK_SQL = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
                CAST(round(
@@ -693,6 +1045,29 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
                     * sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])))) DESC, vec_id
         LIMIT 10
+    """
+    o["sim_bruteforce_topk"] = _BRUTE_TOPK_SQL
+    # property oracle for LSH top-k: planted scaled copies of the query
+    # (cosine 1.0, identical signature) must be retrieved exactly
+    o["sim_lsh_topk"] = """
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        planted AS (
+          SELECT CAST(1000000 + i AS BIGINT) AS vec_id,
+                 list_transform(qv, x -> x * (1.0 + (i + 1) / 100.0)) AS e
+          FROM q, generate_series(0, 4) AS t(i)
+        ),
+        allv AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id, e FROM planted
+        )
+        SELECT vec_id,
+               CAST(round(list_dot_product(e, qv)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))), 4) AS DOUBLE) AS cos_sim
+        FROM allv, q
+        ORDER BY list_dot_product(e, qv)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
+        LIMIT 6
     """
     o["ts_token_quality"] = """
         WITH n AS (
@@ -750,10 +1125,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang_guess, count(*) AS n, count(DISTINCT fp) AS n_fingerprints
         FROM lg GROUP BY lang_guess
     """
+    o["ts_bpe_estimate"] = """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+        FROM documents
+    """
     o["mm_binary_meta"] = """
         SELECT CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
                count(*) AS n,
                CAST(sum(octet_length(unhex(md5(text) || md5(text || 'x')))) AS BIGINT) AS payload_bytes
         FROM documents GROUP BY 1
+    """
+    o["mm_feature_extract"] = """
+        WITH h AS (
+          SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS hx
+          FROM documents WHERE doc_id < 200
+        )
+        SELECT media_id, CAST(32 AS BIGINT) AS n_bytes,
+               CAST(list_sum(list_transform(generate_series(0, 7), i ->
+                 (strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1))) AS BIGINT) AS byte_sum
+        FROM h
     """
     return o

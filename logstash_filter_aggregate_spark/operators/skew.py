@@ -22,15 +22,25 @@ Partial rows reuse the resume-seed mechanism (``_seed_*`` columns,
 plans/resume.py): the aggregate stage merges them with each fn's natural
 combiner, so no second code path exists downstream.
 
-Eligibility (validated): every rule is ``create_or_update`` with no
-``end_of_task`` and no custom timeouts, and every aggregation fn is
-order-insensitive (sum/count/min/max) — exactly the no-end-event shape
-(docs example #3) where hot conversations occur.
+Two eligibility tiers:
+
+- **plain** (:func:`prereduce_eligible`): every rule ``create_or_update``
+  with no ``end_of_task`` and no custom timeouts, order-insensitive aggs
+  (sum/count/min/max) — the no-end-event shape (docs example #3).
+- **end-marked** (handled inside :func:`prereduce`): rules may carry
+  ``end_of_task`` and ``create``/``update`` guard actions. The stream is
+  pre-split by the running end-marker count and guard inclusion is
+  resolved in the SAME narrow pre-window (one exchange of
+  engine-columns-only rows); end rows pass through un-partialed so the
+  close metadata (close_kind/end_ts/end_turn_idx) stays exact. Guard
+  decisions assume no mid-segment gap/age expiry — statically safe when
+  both timeouts are effectively infinite (>= NO_EXPIRY_S, the batch
+  example #1 shape); otherwise opt in with ``assume_no_expiry=True``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from logstash_filter_aggregate_spark.config import (
@@ -42,6 +52,12 @@ from logstash_filter_aggregate_spark.config import (
 from logstash_filter_aggregate_spark.operators.correlate import SEED_RULE, _merged_agg_specs, _value_expr
 
 _PREREDUCIBLE_FNS = {"sum", "count", "min", "max"}
+
+# both timeouts at/above this are treated as "no expiry can occur": the
+# guard precomputation in end-marked mode is then exact (a 3-year-plus
+# event-time span inside one batch would violate it — pass
+# assume_no_expiry explicitly in that case, or don't prereduce)
+NO_EXPIRY_S = 1e8
 
 
 def prereduce_eligible(cfg: PipelineConfig) -> bool:
