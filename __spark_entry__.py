@@ -581,6 +581,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).groupBy("etype").agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("val_sum"))
     q["u01_regex_parse"] = u01
 
+    # --- U1b: composite access-log grok (COMMONAPACHELOG shape) — lines
+    # synthesized from event columns, so the oracle recomputes the
+    # aggregate from the raw columns with no regex at all
+    def u01b(spark, sf):
+        from logstash_filter_aggregate_spark.functions.grok import (
+            COMMONAPACHELOG_GROK,
+            apply_grok_jvm,
+            compile_grok,
+        )
+
+        ev = _events(spark, sf)
+        lines = ev.select(
+            F.format_string(
+                '10.0.%d.1 - user%d [10/Oct/2000:13:55:36 -0700] "%s /e/%d HTTP/1.1" 200 %d',
+                (F.col("user_id") % 256).cast("int"),
+                F.col("user_id"),
+                F.upper("event_type"),
+                F.col("event_id"),
+                (F.floor("value") + 1000).cast("long"),
+            ).alias("text")
+        )
+        g = compile_grok("apache", COMMONAPACHELOG_GROK)
+        parsed = apply_grok_jvm(lines, "text", [g])
+        return parsed.groupBy("verb").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bytes").alias("bytes_sum"),
+            F.count_distinct("clientip").alias("n_ips"),
+        )
+    q["u01b_grok_apache"] = u01b
+
     # --- dedup family
     def dd_exact(spark, sf):
         return dedup.exact_dedup(_docs(spark, sf))
@@ -996,6 +1026,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n,
                CAST(sum(CAST(regexp_extract(text, '^(\\w+) - (\\d+) - EVENT - (\\w+) - (-?\\d+)$', 4) AS BIGINT)) AS BIGINT) AS val_sum
         FROM t GROUP BY 1
+    """
+    o["u01b_grok_apache"] = """
+        SELECT upper(event_type) AS verb, count(*) AS n,
+               CAST(sum(CAST(floor(value) AS BIGINT) + 1000) AS BIGINT) AS bytes_sum,
+               count(DISTINCT format('10.0.{}.1', user_id % 256)) AS n_ips
+        FROM events GROUP BY 1
     """
     o["dd_exact_dedup"] = """
         SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS content_hash,

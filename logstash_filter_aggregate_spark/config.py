@@ -106,7 +106,17 @@ class PipelineConfig:
     pattern_id: str = "p0"
     timeout: float = 1800.0                        # DEFAULT_TIMEOUT aggregate.rb:64-65 (O9)
     inactivity_timeout: float | None = None        # defaults to timeout (aggregate.rb:377-379, O10)
-    timeout_timestamp_field: str = "ts"            # event-time mode (aggregate.rb:39,486-488, O12)
+    # Time model (aggregate.rb:39,486-488): "ts" = event-time mode (the
+    # reference's timeout_timestamp_field, its only deterministic mode,
+    # spec:374-390). None = PROCESSING-TIME mode (the reference default,
+    # Time.now): a batch replay processes every event within seconds of
+    # wall clock, so in the deterministic instantaneous-replay limit NO
+    # map expires mid-run — gap/age splits are disabled; end_of_task,
+    # guards, custom_timeout=0 eviction and push_previous (incl. the
+    # final-flush tag, aggregate.rb:341-351) behave identically; all
+    # still-live maps land in `open` (the shutdown persistence path,
+    # aggregate.rb:154-175).
+    timeout_timestamp_field: str | None = "ts"
     push_map_as_event_on_timeout: bool = False     # aggregate.rb:35 (O15)
     push_previous_map_as_event: bool = False       # aggregate.rb:37 (O16)
     timeout_task_id_field: str | None = None       # aggregate.rb:33 (O13)

@@ -29,8 +29,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-# Base pattern dictionary — the subset of the public grok core patterns
-# the reference docs use, defined from scratch as plain regexes.
+# Base pattern dictionary — the public grok core pattern NAMES, each
+# re-derived from scratch as a plain regex valid in both the Java and
+# Python dialects (no atomic groups, no possessive quantifiers). Composites
+# are built by f-string composition below, never by copying a patterns file.
+_IPV4 = r"(?:\d{1,3}\.){3}\d{1,3}"
+_IPV6 = r"(?:[0-9A-Fa-f]{1,4}:){1,7}(?::|[0-9A-Fa-f]{1,4})(?:%\w+)?|::(?:[0-9A-Fa-f]{1,4}(?::[0-9A-Fa-f]{1,4})*)?"
+_HOSTNAME = r"\b[0-9A-Za-z][0-9A-Za-z-]{0,62}(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b"
+_IPORHOST = rf"(?:{_IPV4}|{_IPV6}|{_HOSTNAME})"
+_USERNAME = r"[a-zA-Z0-9._-]+"
+_EMAIL = r"[a-zA-Z0-9_.+-]+@[a-zA-Z0-9-]+(?:\.[a-zA-Z0-9-]+)+"
+_MONTH = r"\b(?:Jan(?:uary)?|Feb(?:ruary)?|Mar(?:ch)?|Apr(?:il)?|May|Jun(?:e)?|Jul(?:y)?|Aug(?:ust)?|Sep(?:tember)?|Oct(?:ober)?|Nov(?:ember)?|Dec(?:ember)?)\b"
+_MONTHDAY = r"(?:0[1-9]|[12]\d|3[01]|[1-9])"
+_YEAR = r"\d{2}(?:\d{2})?"
+_TIME = r"\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?"
+_UNIXPATH = r"(?:/[\w@.,:%+~-]*)+"
+_WINPATH = r"(?:[A-Za-z]:|\\)(?:\\[^\\?*\s]*)+"
+_PROG = r"[\w._/%-]+"
+
 BASE_PATTERNS: dict[str, str] = {
     "WORD": r"\b\w+\b",
     "NOTSPACE": r"\S+",
@@ -39,13 +55,59 @@ BASE_PATTERNS: dict[str, str] = {
     "GREEDYDATA": r".*",
     "INT": r"[+-]?\d+",
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "POSINT": r"\d+",
+    "NONNEGINT": r"\d+",
     "LOGLEVEL": r"(?:ALERT|TRACE|DEBUG|NOTICE|INFO|WARN(?:ING)?|ERR(?:OR)?|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
-    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USERNAME": _USERNAME,
+    "USER": _USERNAME,
+    "EMAILADDRESS": _EMAIL,
+    "HTTPDUSER": rf"(?:{_EMAIL}|{_USERNAME})",
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
-    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": _IPV4,
+    "IPV4": _IPV4,
+    "IPV6": _IPV6,
+    "HOSTNAME": _HOSTNAME,
+    "IPORHOST": _IPORHOST,
+    "HOSTPORT": rf"{_IPORHOST}:\d+",
     "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
+    "MONTH": _MONTH,
+    "MONTHDAY": _MONTHDAY,
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "YEAR": _YEAR,
+    "TIME": _TIME,
+    "HOUR": r"(?:2[0123]|[01]?\d)",
+    "MINUTE": r"(?:[0-5]\d)",
+    "SECOND": r"(?:[0-5]\d|60)(?:\.\d+)?",
+    # 10/Oct/2000:13:55:36 -0700
+    "HTTPDATE": rf"{_MONTHDAY}/{_MONTH}/{_YEAR}:{_TIME} [+-]\d{{4}}",
+    # Oct  1 13:55:36
+    "SYSLOGTIMESTAMP": rf"{_MONTH} +{_MONTHDAY} {_TIME}",
+    "SYSLOGHOST": _IPORHOST,
+    "PROG": _PROG,
+    "SYSLOGPROG": rf"{_PROG}(?:\[\d+\])?",
+    "QUOTEDSTRING": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "QS": r"(?:\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')",
+    "UNIXPATH": _UNIXPATH,
+    "WINPATH": _WINPATH,
+    "PATH": rf"(?:{_UNIXPATH}|{_WINPATH})",
+    "TTY": r"/dev/(?:pts|tty[pq]?)\w*",
+    "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)",
+    "URIHOST": rf"{_IPORHOST}(?::\d{{1,5}})?",
+    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
 }
+
+# Composite grok EXPRESSIONS (with capture semantics) for the classic
+# access-log formats — pass to compile_grok as the pattern argument.
+COMMONAPACHELOG_GROK = (
+    r'%{IPORHOST:clientip} %{HTTPDUSER:ident} %{HTTPDUSER:auth} '
+    r'\[%{HTTPDATE:timestamp}\] "%{WORD:verb} %{NOTSPACE:request}'
+    r'(?: HTTP/%{NUMBER:httpversion})?" %{NUMBER:response:int} (?:%{NUMBER:bytes:int}|-)'
+)
+COMBINEDAPACHELOG_GROK = (
+    COMMONAPACHELOG_GROK + r' %{QS:referrer} %{QS:agent}'
+)
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
 

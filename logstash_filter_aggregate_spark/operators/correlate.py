@@ -316,6 +316,11 @@ def route_sessions(
     wm_s = F.col("_watermark").cast("timestamp").cast("double")
     age_expired = wm_s - F.col("creation_ts").cast("timestamp").cast("double") > eff_timeout
     gap_expired = wm_s - F.col("lastevent_ts").cast("timestamp").cast("double") > eff_inact
+    if cfg.timeout_timestamp_field is None:
+        # processing-time mode: no wall clock passes during the replay, so
+        # nothing is expired at the final flush either (config.py docs)
+        age_expired = F.lit(False)
+        gap_expired = F.lit(False)
 
     reason = (
         F.when(F.col("close_kind") == "end", F.lit("completed"))

@@ -67,6 +67,11 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
         ).cast("int"),
     )
 
+    if cfg.timeout_timestamp_field is None:
+        # processing-time mode: no wall clock passes during a batch replay
+        # (config.py PipelineConfig docs) — only end/custom0 closes split
+        return part.withColumn("_gap_seg", F.lit(0)).withColumn("_age_seg", F.lit(0))
+
     inactivity = float(cfg.effective_inactivity_timeout)
     ts_sec = _ts_sec()
     # partial rows (resume seeds / skew pre-reduction super-rows) span

@@ -73,26 +73,68 @@ def prereduce_eligible(cfg: PipelineConfig) -> bool:
     )
 
 
+def _pre_guard_included(w) -> Column:
+    """Guard inclusion resolved in the pre-window (same semantics as
+    correlate.apply_guards, same single-exchange running-count trick):
+    the first can-create row of an end-segment creates the map, later
+    ``create`` rows are duplicate-start no-ops, ``update`` rows before the
+    creator are no-ops."""
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    cc = (F.col("_action") != "update").cast("int")
+    cc_incl = F.coalesce(F.sum(cc).over(run), F.lit(0))
+    seg_start = F.lag("_end_flag").over(w).isNull() | (F.lag("_end_flag").over(w) == 1)
+    ord_c = F.row_number().over(w)
+    cc_before_seg = F.max(
+        F.when(seg_start, F.struct(ord_c.alias("o"), (cc_incl - cc).alias("v")))
+    ).over(run)["v"]
+    cc_in_seg = cc_incl - cc_before_seg
+    prior_cc = cc_in_seg - cc
+    return (
+        F.when((cc == 1) & (prior_cc == 0), F.lit(True))
+        .when(F.col("_action") == "create", F.lit(False))
+        .otherwise(cc_in_seg >= 1)
+    )
+
+
 def prereduce(
     classified: DataFrame,
     cfg: PipelineConfig,
     bucket_s: float | None = None,
     allow_age_approx: bool = False,
+    assume_no_expiry: bool = False,
 ) -> DataFrame:
-    """Collapse classified correlation rows into per-(task, bucket)
-    partial rows in seed shape. Non-participating rows are untouched by
-    the caller (this operates on the correlation stream only)."""
-    if not prereduce_eligible(cfg):
+    """Collapse classified correlation rows into per-(task, segment,
+    bucket) partial rows in seed shape. Non-participating rows are
+    untouched by the caller (this operates on the correlation stream
+    only). End-marked / guarded configs are handled per the module
+    docstring; end rows always pass through un-partialed."""
+    if any(
+        r.custom_timeout is not None or r.custom_inactivity_timeout is not None
+        for r in cfg.rules
+    ):
+        raise ConfigurationError("prereduce does not support custom per-map timeouts")
+    if not all(s.fn in _PREREDUCIBLE_FNS for r in cfg.rules for s in r.aggs):
         raise ConfigurationError(
-            "prereduce requires create_or_update-only rules without end_of_task/"
-            "custom timeouts and order-insensitive aggregations (sum/count/min/max)"
+            "prereduce requires order-insensitive aggregations (sum/count/min/max)"
+        )
+    has_ends = any(r.end_of_task for r in cfg.rules)
+    has_guards = any(r.map_action != "create_or_update" for r in cfg.rules)
+    no_expiry = (
+        cfg.timeout >= NO_EXPIRY_S and cfg.effective_inactivity_timeout >= NO_EXPIRY_S
+    )
+    if has_guards and not (no_expiry or assume_no_expiry):
+        raise ConfigurationError(
+            "prereduce with create/update guard actions precomputes guard "
+            "inclusion assuming no mid-segment gap/age expiry; that holds "
+            "statically only when both timeouts are effectively infinite — "
+            "pass assume_no_expiry=True to accept it for this data"
         )
     inact = float(cfg.effective_inactivity_timeout)
     if bucket_s is None:
-        bucket_s = inact
+        bucket_s = min(inact, 3600.0) if no_expiry else inact
     if bucket_s > inact:
         raise ConfigurationError(f"bucket_s={bucket_s} must be <= inactivity_timeout={inact}")
-    if cfg.timeout < float("inf") and not allow_age_approx:
+    if cfg.timeout < NO_EXPIRY_S and not allow_age_approx:
         # the age cap always exists (default 1800s); quantization error is
         # < bucket_s — callers opt in explicitly
         raise ConfigurationError(
@@ -100,13 +142,20 @@ def prereduce(
             "(error < bucket_s); pass allow_age_approx=True to accept"
         )
 
+    from logstash_filter_aggregate_spark.operators.correlate import (
+        narrow_for_correlation,
+        value_col_name,
+    )
+
     merged = _merged_agg_specs(cfg)
     ts_sec = F.col("ts").cast("timestamp").cast("double")
     bucket = F.floor(ts_sec / F.lit(float(bucket_s)))
 
+    # aggregate over the pre-projected _v_ columns (projected=True): the
+    # whole prereduce stage — pre-window included — carries narrow rows
     partials = []
     for name, (fn, sources) in merged.items():
-        val = _value_expr(sources)
+        val = _value_expr(sources, projected=True)
         if fn == "sum":
             partials.append(F.sum(val).alias(f"_seed_{name}"))
         elif fn == "count":
@@ -118,11 +167,38 @@ def prereduce(
         elif fn == "max":
             partials.append(F.max(val).alias(f"_seed_{name}"))
 
-    participating = classified.where(
-        F.col(TASK_ID_COL).isNotNull() & F.col(KIND_COL).isNotNull()
+    participating = narrow_for_correlation(
+        classified.where(F.col(TASK_ID_COL).isNotNull() & F.col(KIND_COL).isNotNull()),
+        cfg,
     )
+
+    seg_key: list = []
+    ends = None
+    if has_ends or has_guards:
+        # ONE narrow pre-window on the task key: running end-count splits
+        # segments; guard inclusion (if any) resolves in the same window
+        w = W.partitionBy(TASK_ID_COL).orderBy("ts", "conv_id", "turn_idx")
+        pre_seg = F.coalesce(
+            F.sum((F.col("_end_flag") == 1).cast("int")).over(
+                w.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        participating = participating.withColumn("_pre_seg", pre_seg)
+        if has_guards:
+            participating = (
+                participating.withColumn("_pre_inc", _pre_guard_included(w))
+                .where(F.col("_pre_inc"))
+                .drop("_pre_inc")
+            )
+        seg_key = [F.col("_pre_seg")]
+        # end rows carry the close metadata (close_kind/end_ts/end_turn_idx)
+        # and their own agg inputs — they pass through exactly
+        ends = participating.where(F.col("_end_flag") == 1).drop("_pre_seg")
+        participating = participating.where(F.col("_end_flag") == 0)
+
     reduced = (
-        participating.groupBy(TASK_ID_COL, F.col("conv_id"), bucket.alias("_bucket"))
+        participating.groupBy(TASK_ID_COL, F.col("conv_id"), *seg_key, bucket.alias("_bucket"))
         .agg(
             F.min("ts").alias("ts"),                            # arrival position of the bucket
             F.min("ts").alias("_seed_creation_ts"),
@@ -131,18 +207,26 @@ def prereduce(
             F.min("turn_idx").alias("turn_idx"),
             *partials,
         )
-        .drop("_bucket")
+        .drop("_bucket", "_pre_seg")
         .withColumns(
             {
                 KIND_COL: F.lit(SEED_RULE),
                 "_end_flag": F.lit(0),
                 "_action": F.lit("create_or_update"),
-                "_cancel": F.lit(False),
                 "_custom_timeout": F.lit(None).cast("double"),
                 "_custom_inactivity": F.lit(None).cast("double"),
             }
         )
     )
+    if ends is not None:
+        reduced = reduced.unionByName(ends, allowMissingColumns=True)
+    # downstream _value_expr(projected=True) must resolve every _v_ column
+    # even when only seed rows carry a given aggregate
+    needed = {
+        value_col_name(r.rule_id, s.col) for r in cfg.rules for s in r.aggs if s.col
+    }
+    for c in sorted(needed - set(reduced.columns)):
+        reduced = reduced.withColumn(c, F.lit(None))
     return reduced
 
 

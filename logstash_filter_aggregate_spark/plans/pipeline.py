@@ -146,6 +146,7 @@ def run_pipeline(
     parse_backend: str = "jvm",
     open_maps: DataFrame | None = None,
     prereduce_s: float | None = None,
+    prereduce_assume_no_expiry: bool = False,
     cache_sessions: bool = False,
 ) -> PipelineOutputs:
     """``open_maps``: the previous run's ``open`` bucket — resumes the
@@ -164,7 +165,10 @@ def run_pipeline(
     if prereduce_s is not None:
         from logstash_filter_aggregate_spark.operators.skew import prereduce
 
-        correlated_in = prereduce(classified, cfg, bucket_s=prereduce_s, allow_age_approx=True)
+        correlated_in = prereduce(
+            classified, cfg, bucket_s=prereduce_s, allow_age_approx=True,
+            assume_no_expiry=prereduce_assume_no_expiry,
+        )
     else:
         # narrow the correlation stream before the task-id exchange: the
         # shuffle/sort carry engine columns + pre-evaluated agg inputs

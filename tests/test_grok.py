@@ -78,3 +78,47 @@ def test_custom_pattern_dictionary(spark):
     from logstash_filter_aggregate_spark.functions.grok import apply_grok_jvm
     r = apply_grok_jvm(df, "text", [g]).first()
     assert r.sid == "S-42-abc" and r.verb == "GET"
+
+
+SAMPLE_LINES = {
+    "HOSTNAME": ("%{HOSTNAME:h}", "api-01.prod.example.com", "h", "api-01.prod.example.com"),
+    "IPORHOST_ip": ("%{IPORHOST:h}", "10.0.42.1", "h", "10.0.42.1"),
+    "IPV6": ("%{IPV6:h}", "2001:db8:0:1:1:1:1:1", "h", "2001:db8:0:1:1:1:1:1"),
+    "HTTPDATE": (r"\[%{HTTPDATE:t}\]", "[10/Oct/2000:13:55:36 -0700]", "t", "10/Oct/2000:13:55:36 -0700"),
+    "SYSLOGTIMESTAMP": ("%{SYSLOGTIMESTAMP:t} x", "Oct  1 13:55:36 x", "t", "Oct  1 13:55:36"),
+    "QS": ("%{QS:q}", '"hello \\"quoted\\" world"', "q", '"hello \\"quoted\\" world"'),
+    "UNIXPATH": ("%{PATH:p} end", "/var/log/app-1.2/x.log end", "p", "/var/log/app-1.2/x.log"),
+    "URIPATH": ("%{URIPATH:p}", "/a/b_c/d-1", "p", "/a/b_c/d-1"),
+    "EMAILADDRESS": ("%{EMAILADDRESS:e}", "dev.ops+x@mail.example.org", "e", "dev.ops+x@mail.example.org"),
+    "SYSLOGPROG": ("%{SYSLOGPROG:p}: y", "sshd[4123]: y", "p", "sshd[4123]"),
+}
+
+
+@pytest.mark.parametrize("case", sorted(SAMPLE_LINES))
+def test_core_pattern_breadth(spark, case):
+    pattern, line, cap, expect = SAMPLE_LINES[case]
+    g = compile_grok(case, pattern)
+    df = make_transcript(spark, [(0, line, 0)])
+    r = apply_grok_jvm(df, "text", [g]).first()
+    assert r.parse_tags == []
+    assert getattr(r, cap) == expect
+
+
+def test_common_apache_log_composite(spark):
+    from logstash_filter_aggregate_spark.functions.grok import COMBINEDAPACHELOG_GROK
+
+    line = (
+        '127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"'
+    )
+    g = compile_grok("combined", COMBINEDAPACHELOG_GROK)
+    df = make_transcript(spark, [(0, line, 0)])
+    r = apply_grok_jvm(df, "text", [g]).first()
+    assert r.clientip == "127.0.0.1" and r.auth == "frank"
+    assert r.verb == "GET" and r.request == "/apache_pb.gif"
+    assert r.response == 200 and r.bytes == 2326
+    assert r.referrer == '"http://www.example.com/start.html"'
+    # pandas backend parses the same line identically
+    p = apply_grok_pandas(df, "text", [g]).first()
+    assert (p.clientip, p.verb, p.response, p.bytes) == (r.clientip, r.verb, r.response, r.bytes)

@@ -252,3 +252,56 @@ def test_duplicate_create_does_not_refresh_inactivity_exact(spark):
     assert len(pushed) == 1 and pushed[0].n == 1
     assert pushed[0].lastevent_ts == T0  # the duplicate at +50 never touched the clock
     assert [r.n for r in out.open.collect()] == [1]
+
+
+def test_processing_time_mode_no_midstream_expiry(spark):
+    # processing-time mode (the reference default, Time.now): a batch
+    # replay is instantaneous in wall clock, so huge EVENT-time gaps must
+    # NOT expire maps; everything stays live to shutdown (open bucket)
+    rows = [
+        (0, "INFO - u1 - Clicked One", 0),
+        (1, "INFO - u1 - Clicked Two", 10_000),
+    ]
+    cfg_pt = example3_config(timeout=60.0, timeout_timestamp_field=None)
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg_pt)
+    assert out.timeout.count() == 0
+    assert [r.clicks for r in out.open.collect()] == [2]
+    # the same rows under event-time mode split and push
+    out_et = run_pipeline(spark, make_transcript(spark, rows), example3_config(timeout=60.0))
+    assert out_et.timeout.count() == 1
+
+
+def test_processing_time_final_flush_push_previous(spark):
+    # spec:358-371: shutdown force-flushes push_previous maps with
+    # _aggregatefinalflush regardless of wall clock
+    from logstash_filter_aggregate_spark.plans.pipeline import example4_config
+
+    rows = [
+        (0, "INFO - fr - Town - paris", 0),
+        (1, "INFO - fr - Town - lyon", 1),
+        (2, "INFO - es - Town - madrid", 2),
+    ]
+    cfg = example4_config(timeout_timestamp_field=None)
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = {r.country_name: r for r in out.timeout.collect()}
+    assert set(pushed) == {"fr", "es"}
+    assert [t.town_name for t in pushed["fr"].towns] == ["paris", "lyon"]
+    assert "_aggregatefinalflush" not in pushed["fr"].tags
+    assert "_aggregatefinalflush" in pushed["es"].tags
+
+
+def test_processing_time_custom_zero_still_evicts(spark):
+    # map_meta.timeout = 0 eviction is not time-based: identical in both modes
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("err", "err_code is not null",
+                            aggs=(AggSpec("errors", "count"),), custom_timeout="0"),
+        ),
+        timeout=600.0,
+        timeout_timestamp_field=None,
+        push_map_as_event_on_timeout=True,
+    )
+    rows = [(0, "ERROR - t - TOOL - http - E503", 0)]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    assert out.inline.count() == 1
