@@ -177,89 +177,6 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
     import numpy as np
 
-    def _fast(ts, end_seg, seed_creation0, age):
-        """All-create_or_update, no-override hop scan. Splits per end_seg
-        block; within a block, hop session starts via searchsorted."""
-        n = len(ts)
-        # gap-split candidates: rows whose delta to the previous row
-        # exceeds the inactivity timeout (strict >, aggregate.rb:397)
-        gap_rows = np.flatnonzero(np.diff(ts) > inactivity) + 1
-        block_starts = np.concatenate(
-            ([0], np.flatnonzero(end_seg[1:] != end_seg[:-1]) + 1, [n])
-        )
-        for bi in range(len(block_starts) - 1):
-            s, e = int(block_starts[bi]), int(block_starts[bi + 1])
-            cur = 0
-            start = s
-            while start < e:
-                creation = (
-                    seed_creation0
-                    if (start == 0 and seed_creation0 is not None)
-                    else ts[start]
-                )
-                # next inactivity gap strictly after the session start
-                gi = np.searchsorted(gap_rows, start + 1)
-                g = int(gap_rows[gi]) if gi < len(gap_rows) else e
-                # next absolute-age crossing: first row with ts > creation+timeout
-                a = start + 1 + int(
-                    np.searchsorted(ts[start + 1 : e], creation + timeout, side="right")
-                )
-                nxt = min(g, a, e)
-                age[start:nxt] = cur
-                cur += 1
-                start = nxt
-
-    def _slow(ts, end_seg, action, cust_to, cust_in, seed_creation, age):
-        """Per-row replay of aggregate.rb:179-246 (see docstring)."""
-        n = len(ts)
-        cur = 0
-        has_map = False
-        creation = last = 0.0
-        eff_to, eff_in = timeout, inactivity
-        prev_end = None
-        for i in range(n):
-            if end_seg[i] != prev_end:
-                # hard boundary: previous map deleted by end_of_task/custom0
-                cur = 0
-                has_map = False
-                eff_to, eff_in = timeout, inactivity
-                prev_end = end_seg[i]
-            # event-time expiry on arrival runs BEFORE the guard
-            # (aggregate.rb:194-199): the expired map dies even if this
-            # row then fails its map_action guard
-            if has_map and (
-                (ts[i] - creation > eff_to) or (ts[i] - last > eff_in)
-            ):
-                has_map = False
-                eff_to, eff_in = timeout, inactivity
-                cur += 1
-            if not has_map:
-                if action[i] == "update":
-                    # no-op: no map created, no clock started (aggregate.rb:203);
-                    # labeled with the upcoming generation, where the guard
-                    # stage excludes it (no prior creator in that segment)
-                    age[i] = cur
-                    continue
-                sc = seed_creation[i] if seed_creation is not None else None
-                creation = sc if sc is not None and sc == sc else ts[i]
-                last = ts[i]
-                has_map = True
-            else:
-                if action[i] == "create":
-                    # duplicate start: return BEFORE the lastevent update
-                    # (aggregate.rb:216) — the inactivity clock is NOT
-                    # refreshed, and the codeblock (overrides) never runs
-                    age[i] = cur
-                    continue
-                last = ts[i]
-            # the codeblock ran: per-map overrides take effect for the
-            # map's subsequent expiry checks (aggregate.rb:243-246,396-397)
-            if cust_to[i] == cust_to[i] and cust_to[i] > 0:  # non-NaN, >0
-                eff_to = float(cust_to[i])
-            if cust_in[i] == cust_in[i] and cust_in[i] > 0:
-                eff_in = float(cust_in[i])
-            age[i] = cur
-
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
         ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
@@ -285,11 +202,14 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
             sc0 = None
             if seed_creation is not None and seed_creation[0] == seed_creation[0]:
                 sc0 = float(seed_creation[0])
-            _fast(ts, end_seg, sc0, age)
+            _fast_scan(ts, end_seg, sc0, age, timeout, inactivity)
         elif n > 0:
             if action is None:
                 action = np.full(n, "create_or_update", dtype=object)
-            _slow(ts, end_seg, action, cust_to, cust_in, seed_creation, age)
+            _slow_scan(
+                ts, end_seg, action, cust_to, cust_in, seed_creation, age,
+                timeout, inactivity,
+            )
         pdf = pdf.copy()
         # exact mode folds gap splits into _age_seg; zero _gap_seg so the
         # aggregate stage's (end, gap, age) grouping key stays uniform
@@ -298,3 +218,94 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
         return pdf
 
     return part.groupBy(TASK_ID_COL).applyInPandas(scan, schema=out_schema)
+
+
+def _fast_scan(ts, end_seg, seed_creation0, age, timeout: float, inactivity: float) -> None:
+    """All-create_or_update, no-override session-hop scan: splits per
+    end_seg block; within a block, each session's end is found via numpy
+    searchsorted (next precomputed inactivity gap / next age crossing), so
+    work is O(#sessions · log n) instead of O(rows) interpreted Python."""
+    import numpy as np
+
+    n = len(ts)
+    # gap-split candidates: rows whose delta to the previous row exceeds
+    # the inactivity timeout (strict >, aggregate.rb:397)
+    gap_rows = np.flatnonzero(np.diff(ts) > inactivity) + 1
+    block_starts = np.concatenate(
+        ([0], np.flatnonzero(end_seg[1:] != end_seg[:-1]) + 1, [n])
+    )
+    for bi in range(len(block_starts) - 1):
+        s, e = int(block_starts[bi]), int(block_starts[bi + 1])
+        cur = 0
+        start = s
+        while start < e:
+            creation = (
+                seed_creation0
+                if (start == 0 and seed_creation0 is not None)
+                else ts[start]
+            )
+            # next inactivity gap strictly after the session start
+            gi = np.searchsorted(gap_rows, start + 1)
+            g = int(gap_rows[gi]) if gi < len(gap_rows) else e
+            # next absolute-age crossing: first row with ts > creation+timeout
+            a = start + 1 + int(
+                np.searchsorted(ts[start + 1 : e], creation + timeout, side="right")
+            )
+            nxt = min(g, a, e)
+            age[start:nxt] = cur
+            cur += 1
+            start = nxt
+
+
+def _slow_scan(
+    ts, end_seg, action, cust_to, cust_in, seed_creation, age,
+    timeout: float, inactivity: float,
+) -> None:
+    """Per-row replay of the reference hot path (aggregate.rb:179-246) —
+    see the _exact_age_seg docstring for the orderings this preserves."""
+    n = len(ts)
+    cur = 0
+    has_map = False
+    creation = last = 0.0
+    eff_to, eff_in = timeout, inactivity
+    prev_end = None
+    for i in range(n):
+        if end_seg[i] != prev_end:
+            # hard boundary: previous map deleted by end_of_task/custom0
+            cur = 0
+            has_map = False
+            eff_to, eff_in = timeout, inactivity
+            prev_end = end_seg[i]
+        # event-time expiry on arrival runs BEFORE the guard
+        # (aggregate.rb:194-199): the expired map dies even if this row
+        # then fails its map_action guard
+        if has_map and ((ts[i] - creation > eff_to) or (ts[i] - last > eff_in)):
+            has_map = False
+            eff_to, eff_in = timeout, inactivity
+            cur += 1
+        if not has_map:
+            if action[i] == "update":
+                # no-op: no map created, no clock started (aggregate.rb:203);
+                # labeled with the upcoming generation, where the guard
+                # stage excludes it (no prior creator in that segment)
+                age[i] = cur
+                continue
+            sc = seed_creation[i] if seed_creation is not None else None
+            creation = sc if sc is not None and sc == sc else ts[i]
+            last = ts[i]
+            has_map = True
+        else:
+            if action[i] == "create":
+                # duplicate start: return BEFORE the lastevent update
+                # (aggregate.rb:216) — the inactivity clock is NOT
+                # refreshed, and the codeblock (overrides) never runs
+                age[i] = cur
+                continue
+            last = ts[i]
+        # the codeblock ran: per-map overrides take effect for the map's
+        # subsequent expiry checks (aggregate.rb:243-246,396-397)
+        if cust_to[i] == cust_to[i] and cust_to[i] > 0:  # non-NaN, >0
+            eff_to = float(cust_to[i])
+        if cust_in[i] == cust_in[i] and cust_in[i] > 0:
+            eff_in = float(cust_in[i])
+        age[i] = cur

@@ -105,3 +105,55 @@ def test_session_window_aggregate_incremental(spark, tmp_path):
     # chunk-1 click sessions closed once chunk 2 advanced the watermark
     assert clicks.get("100002") == 3
     assert all(r.nevents >= 1 for r in got.collect())
+
+
+def test_streaming_hot_key_multichunk_order(spark, tmp_path):
+    # a hot task whose micro-batch exceeds arrow maxRecordsPerBatch
+    # arrives at the stateful fn as SEVERAL Arrow chunks with no
+    # cross-chunk ordering guarantee — the fn must sort the materialized
+    # whole, or guards/expiry corrupt. Force tiny chunks and check the
+    # result matches batch.
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+
+    import datetime as dt
+
+    from tests.conftest import T0
+
+    p = str(tmp_path / "hot_in")
+    # one hot task, 400 clicks: 50s spacing with a 250s jump every 37th
+    # row -> ~10 gap sessions, all but the last pushed on arrival
+    rows = [
+        ("hot", i, "user", f"INFO - hotuser - Clicked {'One' if i % 2 else 'Two'}", "none",
+         T0 + dt.timedelta(seconds=i * 50 + (i // 37) * 250))
+        for i in range(400)
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    # scatter the rows across files so the key's Arrow chunks arrive
+    # genuinely out of event-time order
+    t.orderBy(F.hash("turn_idx")).coalesce(4).write.mode("overwrite").parquet(p)
+    cfg = example3_config(timeout=100_000.0, inactivity_timeout=120.0)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        got = _run_stream(
+            spark, p, lambda src: streaming_correlate(src, cfg), "stream_hot_chunks"
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    batch = run_pipeline(spark, spark.read.parquet(p), cfg)
+    # hot conv: 400 turns at 1s spacing, gap 120 -> one map, stays open in
+    # the batch run; streaming leaves it in state (no row emitted), so
+    # compare the COMPLETED/TIMEOUT emissions for every task
+    got_rows = sorted(
+        (r.task_id, r.sink, r.creation_ts, r.nevents) for r in got.collect()
+    )
+    exp_rows = sorted(
+        (r.task_id, "timeout", r.creation_ts, r.nevents)
+        for r in batch.timeout.collect()
+    )
+    assert len(exp_rows) >= 5  # the test must actually exercise pushes
+    assert got_rows == exp_rows

@@ -305,3 +305,39 @@ def test_processing_time_custom_zero_still_evicts(spark):
     rows = [(0, "ERROR - t - TOOL - http - E503", 0)]
     out = run_pipeline(spark, make_transcript(spark, rows), cfg)
     assert out.inline.count() == 1
+
+
+def test_exact_scan_fast_path_equals_slow_and_is_faster():
+    # 1M-row single hot task: the session-hop fast path must produce the
+    # per-row state machine's exact result and beat it by >= 10x
+    import time
+
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.operators.sessionize import _fast_scan, _slow_scan
+
+    n = 1_000_000
+    rng = np.random.RandomState(11)
+    # the hot-task shape: steady ~1s activity with occasional gaps —
+    # sessions end via the age cap every ~600 rows or a rare gap, so the
+    # hop loop runs ~2k times over 1M rows
+    deltas = rng.choice([1.0, 2.0, 400.0], size=n, p=[0.7985, 0.2, 0.0015])
+    ts = np.cumsum(deltas)
+    end_seg = np.zeros(n, dtype="int64")
+    end_seg[n // 2:] = 1  # one end-marker boundary mid-stream
+    timeout, inactivity = 600.0, 300.0
+
+    age_fast = np.zeros(n, dtype="int32")
+    t0 = time.perf_counter()
+    _fast_scan(ts, end_seg, None, age_fast, timeout, inactivity)
+    fast_s = time.perf_counter() - t0
+
+    age_slow = np.zeros(n, dtype="int32")
+    action = np.full(n, "create_or_update", dtype=object)
+    nan = np.full(n, np.nan)
+    t0 = time.perf_counter()
+    _slow_scan(ts, end_seg, action, nan, nan, None, age_slow, timeout, inactivity)
+    slow_s = time.perf_counter() - t0
+
+    assert np.array_equal(age_fast, age_slow)
+    assert slow_s / max(fast_s, 1e-9) >= 10, (fast_s, slow_s)
