@@ -214,6 +214,30 @@ def _pipe_push_previous(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _o16_push_previous_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 strict mode through the engine: interleaved task ids over the
+    GLOBAL event order form one map per contiguous run (the reference's
+    single-live-map pop discipline). The engine computes the global index
+    with the distributed two-pass ranking (operators/order.py), not a
+    partition-less window."""
+    t = events_as_transcripts(spark, sf_dir)
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("any", "etype is not null", aggs=(AggSpec("n_ev", "count"),)),
+        ),
+        timeout=BIG_TIMEOUT,
+        push_previous_map_as_event=True,
+        push_previous_exact=True,
+        timeout_task_id_field="uid",
+    )
+    out = run_pipeline(spark, t, cfg, groks=compile_groks(EVENT_GROK))
+    return out.timeout.select(
+        "uid", "n_ev", "creation_ts", "lastevent_ts",
+        F.array_contains("tags", "_aggregatefinalflush").alias("final_flush"),
+    )
+
+
 def _pipe_custom_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O17 through the engine: error rows carry map_meta.timeout=0
     (immediate eviction+push -> inline bucket, spec:392-409); signup rows
@@ -567,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_start_end_correlation"] = _pipe_start_end
     q["pipe_gap_timeout_push"] = _pipe_gap_timeout
     q["pipe_push_previous"] = _pipe_push_previous          # O16 + O20
+    q["o16_push_previous_interleaved"] = _o16_push_previous_interleaved  # O16 strict
     q["pipe_custom_timeout"] = _pipe_custom_timeout        # O17
     q["pipe_route_counts"] = _pipe_route_counts            # U5 + U3 + O22
     q["o18_inline_emissions"] = _o18_inline_emissions      # O18
@@ -967,6 +992,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT day_key, n_ev, val_total, creation_ts, lastevent_ts,
                day = (SELECT max(day) FROM agg) AS final_flush
+        FROM agg
+    """
+    o["o16_push_previous_interleaved"] = """
+        WITH c AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(user_id) OVER (ORDER BY ts, event_id) IS NULL THEN 1
+                      WHEN lag(user_id) OVER (ORDER BY ts, event_id) <> user_id THEN 1
+                      ELSE 0 END AS chg
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        r AS (
+          SELECT *, sum(chg) OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+          FROM c
+        ),
+        agg AS (
+          SELECT run_id, CAST(min(user_id) AS VARCHAR) AS uid, count(*) AS n_ev,
+                 min(ts) AS creation_ts, max(ts) AS lastevent_ts
+          FROM r GROUP BY run_id
+        )
+        SELECT uid, n_ev, creation_ts, lastevent_ts,
+               run_id = (SELECT max(run_id) FROM agg) AS final_flush
         FROM agg
     """
     o["pipe_custom_timeout"] = """

@@ -119,6 +119,16 @@ class PipelineConfig:
     timeout_timestamp_field: str | None = "ts"
     push_map_as_event_on_timeout: bool = False     # aggregate.rb:35 (O15)
     push_previous_map_as_event: bool = False       # aggregate.rb:37 (O16)
+    # Exact interleaved push_previous (O16 strict mode): the reference
+    # keeps at most ONE live map and pops it on EVERY task-id change in
+    # arrival order (aggregate.rb:205-208,314-320), so interleaved
+    # same-id events form SEPARATE maps per contiguous run. False (the
+    # default) merges non-contiguous same-id events into one map — exact
+    # for the documented contiguous-run use case (example #4) and
+    # shuffle-free; True reproduces the run semantics exactly via a
+    # distributed global index (operators/order.py) — one extra range
+    # exchange + a per-partition stats pass.
+    push_previous_exact: bool = False
     timeout_task_id_field: str | None = None       # aggregate.rb:33 (O13)
     timeout_tags: tuple[str, ...] = ()             # aggregate.rb:43 (O13)
     # timeout_code (O14, aggregate.rb:94-96): output-column -> SQL expr
@@ -154,6 +164,16 @@ class PipelineConfig:
             # one create_or_update filter per task_id pattern
             raise ConfigurationError(
                 "push_previous_map_as_event requires map_action='create_or_update' rules"
+            )
+        if self.push_previous_exact and not self.push_previous_map_as_event:
+            raise ConfigurationError(
+                "push_previous_exact requires push_previous_map_as_event=True"
+            )
+        if self.push_previous_exact and self.exact_age_cap:
+            # the exact age scan folds gap splits into _age_seg and would
+            # discard the run-break splits
+            raise ConfigurationError(
+                "push_previous_exact cannot be combined with exact_age_cap"
             )
 
     @property

@@ -46,7 +46,8 @@ def _ts_sec() -> Column:
 
 def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Add ``_ord``, ``_end_seg``, ``_gap_seg``, ``_age_seg`` to rows that
-    participate in correlation. Single task-partition exchange."""
+    participate in correlation. Single task-partition exchange (plus one
+    range exchange when ``push_previous_exact`` needs the global index)."""
     part = classified.where(
         F.col(TASK_ID_COL).isNotNull() & F.col("_rule_id").isNotNull()
     )
@@ -55,6 +56,16 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
         (F.col("_end_flag") == 1) | (F.col("_custom_timeout") == 0.0)
     ).cast("int")
     part = part.withColumn("_close_flag", close_flag)
+
+    if cfg.push_previous_exact:
+        # exact interleaved push_previous (O16 strict mode): a map also
+        # dies when ANOTHER task's event arrives between two of its own —
+        # i.e. when consecutive same-task rows are not adjacent in the
+        # GLOBAL order. operators/order.py supplies the index without a
+        # partition-less window.
+        from logstash_filter_aggregate_spark.operators.order import with_global_index
+
+        part = with_global_index(part, ORDER_BY)
 
     w = _w()
     part = part.withColumn(ORDER_COL, F.row_number().over(w))
@@ -67,10 +78,23 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
         ).cast("int"),
     )
 
+    run_break = None
+    if cfg.push_previous_exact:
+        prev_g = F.lag("_gidx").over(w)
+        run_break = (prev_g.isNotNull() & (F.col("_gidx") - prev_g > 1)).cast("int")
+
     if cfg.timeout_timestamp_field is None:
         # processing-time mode: no wall clock passes during a batch replay
-        # (config.py PipelineConfig docs) — only end/custom0 closes split
-        return part.withColumn("_gap_seg", F.lit(0)).withColumn("_age_seg", F.lit(0))
+        # (config.py PipelineConfig docs) — only end/custom0 closes and
+        # push_previous run breaks (not time-based) split
+        if run_break is not None:
+            part = part.withColumn(
+                "_gap_seg",
+                F.coalesce(_running(F.sum(F.coalesce(run_break, F.lit(0)))), F.lit(0)).cast("int"),
+            ).drop("_gidx")
+        else:
+            part = part.withColumn("_gap_seg", F.lit(0))
+        return part.withColumn("_age_seg", F.lit(0))
 
     inactivity = float(cfg.effective_inactivity_timeout)
     ts_sec = _ts_sec()
@@ -87,12 +111,18 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     gap_flag = (
         same_end & (ts_sec - F.lag(eff_last).over(w) > F.lit(inactivity))
     ).cast("int")
+    if run_break is not None:
+        # a push_previous run break pops the map exactly like
+        # expiry-on-arrival — fold it into the gap split
+        gap_flag = F.greatest(gap_flag, run_break)
     # non-resetting cumulative count: ids only need to be unique within
     # (task, end_seg), which a task-wide running sum already is
     part = part.withColumn(
         "_gap_seg",
         F.coalesce(_running(F.sum(F.coalesce(gap_flag, F.lit(0)))), F.lit(0)).cast("int"),
     )
+    if run_break is not None:
+        part = part.drop("_gidx")
 
     if cfg.exact_age_cap:
         return _exact_age_seg(part, cfg)

@@ -113,6 +113,10 @@ def prereduce(
         for r in cfg.rules
     ):
         raise ConfigurationError("prereduce does not support custom per-map timeouts")
+    if cfg.push_previous_exact:
+        # partial rows merge across interleaved runs — the global run
+        # structure push_previous_exact needs is gone after bucketing
+        raise ConfigurationError("prereduce is incompatible with push_previous_exact")
     if not all(s.fn in _PREREDUCIBLE_FNS for r in cfg.rules for s in r.aggs):
         raise ConfigurationError(
             "prereduce requires order-insensitive aggregations (sum/count/min/max)"

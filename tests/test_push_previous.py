@@ -70,3 +70,64 @@ def test_inline_emission(spark):
     em = out.inline.collect()
     assert len(em) == 1
     assert em[0].new_field == "new_value" and em[0].from_task == "t1"
+
+
+def test_push_previous_exact_interleaved_matches_reference(spark):
+    # O16 strict mode: interleaved ids form SEPARATE maps per contiguous
+    # run in global order, exactly like the reference's single-live-map
+    # pop discipline (aggregate.rb:205-208,314-320)
+    rows = [
+        (0, "INFO - a - Town - t1", 0),
+        (1, "INFO - b - Town - t2", 1),
+        (2, "INFO - a - Town - t3", 2),
+    ]
+    cfg = example4_config(push_previous_exact=True)
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = sorted(
+        (r.task_id, tuple(t.town_name for t in r.towns), "_aggregatefinalflush" in r.tags)
+        for r in out.timeout.collect()
+    )
+    # reference: b's creation pops a{t1}; a's return pops b{t2}; shutdown
+    # force-flushes a{t3} with the final tag
+    assert pushed == [
+        ("a", ("t1",), False),
+        ("a", ("t3",), True),
+        ("b", ("t2",), False),
+    ]
+
+
+def test_push_previous_exact_equals_default_on_contiguous_runs(spark):
+    out_d = run_pipeline(spark, make_transcript(spark, ROWS), example4_config())
+    out_e = run_pipeline(
+        spark, make_transcript(spark, ROWS), example4_config(push_previous_exact=True)
+    )
+    key = lambda r: (r.task_id, tuple(t.town_name for t in r.towns), tuple(r.tags))  # noqa: E731
+    assert sorted(map(key, out_d.timeout.collect())) == sorted(map(key, out_e.timeout.collect()))
+
+
+def test_push_previous_exact_partitioning_invariant(spark):
+    # the global index (operators/order.py) must be independent of the
+    # input partitioning — scatter the rows and compare
+    rows = [
+        (0, f"INFO - {'abc'[i % 3]} - Town - t{i}", i) for i in range(60)
+    ]
+    cfg = example4_config(push_previous_exact=True)
+    t1 = make_transcript(spark, rows)
+    t2 = t1.repartition(7)
+    key = lambda r: (r.task_id, tuple(t.town_name for t in r.towns), tuple(r.tags))  # noqa: E731
+    a = sorted(map(key, run_pipeline(spark, t1, cfg).timeout.collect()))
+    b = sorted(map(key, run_pipeline(spark, t2, cfg).timeout.collect()))
+    assert a == b
+    # every map holds exactly one town (ids alternate every row)
+    assert all(len(towns) == 1 for _, towns, _ in a) and len(a) == 60
+
+
+def test_push_previous_exact_config_guards():
+    import pytest
+
+    from logstash_filter_aggregate_spark.config import ConfigurationError
+
+    with pytest.raises(ConfigurationError, match="push_map_as_event|push_previous_map_as_event"):
+        example4_config(push_previous_map_as_event=False, push_previous_exact=True)
+    with pytest.raises(ConfigurationError, match="exact_age_cap"):
+        example4_config(push_previous_exact=True, exact_age_cap=True)
