@@ -693,6 +693,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
     q["sim_lsh_topk"] = sim_lsh
 
+    def sim_ivf(spark, sf):
+        # property oracle, same construction as sim_lsh_topk: cell
+        # assignment (max-cosine centroid) is scale-invariant, so planted
+        # scaled copies of the query land in the query's own cell — the
+        # rank-1 probe — and the exact rank over probed candidates must
+        # return exactly the cosine-1.0 set.
+        emb = _emb(spark, sf)
+        qv = _query_vec(spark, sf)
+        qcol = F.array(*[F.lit(float(v)) for v in qv])
+        planted = spark.range(5).select(
+            (F.col("id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                qcol, lambda x: x * (F.lit(1.0) + (F.col("id") + 1) / F.lit(100.0))
+            ).cast("array<float>").alias("embedding"),
+        )
+        allv = emb.select("vec_id", "embedding").unionByName(planted)
+        out = similarity.ivf_topk(allv, qv, k=6, n_cells=8, n_probe=2, train_iters=2)
+        return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
+    q["sim_ivf_topk"] = sim_ivf
+
     def sim_neardup(spark, sf):  # rows-only: xxhash64 hyperplanes
         return similarity.embedding_near_dup_pairs(_emb(spark, sf), num_planes=8, min_cosine=0.3).select(
             "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
@@ -1152,6 +1172,9 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))) DESC, vec_id
         LIMIT 6
     """
+    # same planted-copy property oracle for IVF (cell assignment is
+    # scale-invariant; the query's cell is the rank-1 probe)
+    o["sim_ivf_topk"] = o["sim_lsh_topk"]
     o["ts_token_quality"] = """
         WITH n AS (
           SELECT lang, text, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm

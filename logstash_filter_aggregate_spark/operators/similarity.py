@@ -11,8 +11,8 @@ agree bit-for-bit.
 
 from __future__ import annotations
 
-import math
-
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -187,6 +187,80 @@ def embedding_near_dup_pairs(
     )
 
 
+def _normalized_rows(mat):
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _cell_assigner(centroids: list[list[float]], vec_col: str):
+    """Arrow-vectorized cell assignment: one numpy matmul per batch
+    against the (small, broadcast-in-closure) normalized centroid matrix
+    — dense linear algebra is the one place a pandas UDF beats Catalyst
+    HOFs. Ties break to the lowest cell id (np.argmax takes the first
+    maximum), so assignment is deterministic."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = _normalized_rows(np.array(centroids, dtype=np.float64))
+
+    @pandas_udf("int")
+    def cell_of(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        scores = _normalized_rows(mat) @ cn.T
+        return pd.Series(np.argmax(np.nan_to_num(scores), axis=1).astype("int32"))
+
+    return cell_of(F.col(vec_col))
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over the embedding column, Spark-native:
+
+    - init: k rows picked by xxhash64 rank of the id (pseudo-random
+      spread, fully deterministic — no RNG state);
+    - assign: Arrow-batched matmul against the broadcast centroid matrix;
+    - update: per-(cell, dimension) mean via ``posexplode`` + groupBy —
+      partial aggregation map-side, so each iteration is one shuffle of
+      (cell, pos, partial-sum) rows, never the vectors themselves.
+
+    Each iteration collects only the k×dim centroid matrix to the driver
+    (model state, not data). Empty cells keep their previous centroid."""
+    seeds = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), "id")
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r.v] for r in seeds]
+    for _ in range(iters):
+        assigned = df.select(
+            _cell_assigner(cents, vec_col).alias("cell"),
+            F.col(vec_col).alias("v"),
+        )
+        new = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+            .collect()
+        )
+        by_cell = {r.cell: [float(x) for x in r.c] for r in new}
+        cents = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -195,23 +269,26 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    train_iters: int = 3,
 ) -> DataFrame:
-    """IVF-flat with deterministic hash-grid centroids: assign each vector
-    to its nearest pseudo-centroid (hyperplane-signature prefix acts as the
-    cell id), probe the ``n_probe`` cells nearest the query. A real system
-    would k-means the centroids; the cell/probe plumbing — the part that
-    matters for the Spark plan — is identical."""
-    bits = max(1, int(math.log2(n_cells)))
-    dim = len(query_vec)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cell = lambda v: hyperplane_signature(v, bits, dim)  # noqa: E731
-    celled = df.withColumn("_cell", cell(F.col(vec_col)))
-    qcells = (
-        df.sparkSession.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(n_probe - 1))).alias("flip"))
-        .select((cell(q).bitwiseXOR(F.col("flip"))).alias("_cell"))
+    """IVF-flat over real k-means centroids (:func:`kmeans_centroids`):
+    assign every vector to its max-cosine centroid, probe the ``n_probe``
+    cells whose centroids are nearest the query, exact-rank only the
+    probed candidates. At 100 TB, train the centroids once and persist
+    the assigned table bucketed/partitioned by ``_cell`` so a probe is a
+    partition-pruned scan; pass the trained ``centroids`` in."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        df, k=n_cells, iters=train_iters, id_col=id_col, vec_col=vec_col
     )
-    cand = celled.join(F.broadcast(qcells), "_cell")
+    qn = _normalized_rows(np.array([query_vec], dtype=np.float64))[0]
+    cn = _normalized_rows(np.array(cents, dtype=np.float64))
+    order = np.argsort(-(cn @ qn), kind="stable")
+    probe = [int(c) for c in order[: max(1, min(n_probe, len(cents)))]]
+
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    celled = df.withColumn("_cell", _cell_assigner(cents, vec_col))
+    cand = celled.where(F.col("_cell").isin(probe))
     return (
         cand.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.col(id_col))

@@ -202,3 +202,29 @@ def test_ngram_jaccard_max_df_cut(spark):
     assert capped == []
     uncapped = dedup.ngram_jaccard_pairs(df, k=3, min_jaccard=0.0, max_df=None).collect()
     assert len(uncapped) == 10 * 9 // 2
+
+
+def test_kmeans_centroids_deterministic(emb):
+    a = similarity.kmeans_centroids(emb, k=4, iters=2)
+    b = similarity.kmeans_centroids(emb, k=4, iters=2)
+    assert a == b and len(a) == 4 and all(len(c) == 64 for c in a)
+
+
+def test_ivf_planted_copies_found_with_one_probe(spark, emb):
+    # scaled copies of the query share its cell (assignment is
+    # scale-invariant) -> n_probe=1 must retrieve the cosine-1.0 set
+    q = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    from pyspark.sql import functions as F
+
+    qcol = F.array(*[F.lit(v) for v in q])
+    planted = spark.range(3).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.transform(qcol, lambda x: x * (F.lit(1.0) + (F.col("id") + 1) / F.lit(100.0)))
+        .cast("array<float>").alias("embedding"),
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(planted)
+    got = similarity.ivf_topk(allv, q, k=4, n_cells=8, n_probe=1, train_iters=2).collect()
+    # ties at cosine 1.0 order arbitrarily (1e-16 float noise) — the SET
+    # is the guarantee
+    assert sorted(r.vec_id for r in got) == [0, 1000000, 1000001, 1000002]
+    assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in got)
