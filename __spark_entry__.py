@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 AggSpec("clicks", "sum", "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"),
                 AggSpec("min_value", "min", "value"),
                 AggSpec("max_value", "max", "value"),
+                AggSpec("avg_value", "avg", "value"),
                 AggSpec("first_type", "first", "CASE WHEN value IS NOT NULL THEN event_type END"),
                 AggSpec("last_type", "last", "CASE WHEN value IS NOT NULL THEN event_type END"),
             )),
@@ -387,7 +388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("task_id").alias("user_id"),
             F.col("click_value_sum").cast("double").alias("click_value_sum"),
             F.col("clicks").cast("long").alias("clicks"),
-            "min_value", "max_value", "first_type", "last_type",
+            "min_value", "max_value",
+            F.round("avg_value", 6).cast("double").alias("avg_value"),
+            "first_type", "last_type",
         )
     q["o06_agg_dictionary"] = o06
 
@@ -884,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
                min(value) AS min_value,
                max(value) AS max_value,
+               CAST(round(avg(value), 6) AS DOUBLE) AS avg_value,
                arg_min(event_type, rn) FILTER (WHERE value IS NOT NULL) AS first_type,
                arg_max(event_type, rn) FILTER (WHERE value IS NOT NULL) AS last_type
         FROM r GROUP BY user_id

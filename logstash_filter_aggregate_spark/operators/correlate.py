@@ -167,11 +167,9 @@ def _agg_column(
     if fn == "max":
         return F.max(val).alias(name)
     if fn == "avg":
-        if with_seeds:
-            raise ConfigurationError(
-                f"agg {name!r}: avg cannot be merged from a seed — use sum+count"
-            )
-        return F.avg(val).alias(name)
+        # handled via _avg_partials in aggregate_sessions (sum+count
+        # helpers make avg resumable across runs)
+        raise AssertionError("avg is expanded by aggregate_sessions, not _agg_column")
     if fn == "first":
         # ||= first non-null in turn order (docs/index.asciidoc:136); a
         # seed row has the minimum _ord in its session, so it wins here
@@ -206,6 +204,39 @@ def _agg_column(
 def _empty_if_null(arr: Column, like: Column) -> Column:
     # empty array of the same element type as `like`
     return F.coalesce(arr, F.slice(like, 1, 0))
+
+
+def _avg_partials(
+    name: str, sources: list[tuple[str, str]], with_seeds: bool, projected: bool,
+    available: set[str],
+) -> list[Column]:
+    """avg decomposed into ``_avg_sum_<name>`` / ``_avg_cnt_<name>``
+    partials so the OPEN bucket carries mergeable state — resumed runs
+    combine seed sum+count with the new rows' (the reference's map would
+    hold the running sum and count explicitly; a bare average is not a
+    mergeable aggregate). The visible ``<name>`` column is derived after
+    the groupBy."""
+    val = (_value_expr(sources, projected) if sources else F.lit(None)).cast("double")
+    inc = F.col("_included")
+    is_seed = F.col("_rule_id") == SEED_RULE
+    if with_seeds:
+        if f"_seed__avg_sum_{name}" not in available:
+            raise ConfigurationError(
+                f"agg {name!r}: resuming avg needs _avg_sum_/_avg_cnt_ helper "
+                "columns in the open-maps input — was it produced by an older config?"
+            )
+        sum_src = F.when(is_seed, F.col(f"_seed__avg_sum_{name}")).otherwise(val)
+        cnt_src = (
+            F.when(is_seed, F.coalesce(F.col(f"_seed__avg_cnt_{name}"), F.lit(0)))
+            .otherwise(F.when(val.isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        )
+    else:
+        sum_src = val
+        cnt_src = F.when(val.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return [
+        F.sum(F.when(inc, sum_src)).alias(f"_avg_sum_{name}"),
+        F.sum(F.when(inc, cnt_src).otherwise(F.lit(0))).cast("long").alias(f"_avg_cnt_{name}"),
+    ]
 
 
 def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -251,8 +282,15 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.max(
             F.when(inc & (F.col("_custom_inactivity") > 0), F.struct(ord_c.alias("o"), F.col("_custom_inactivity").alias("v")))
         )["v"].alias("_session_inactivity"),
-        *[_agg_column(n, fn, srcs, with_seeds, projected) for n, (fn, srcs) in merged.items()],
     ]
+    avg_names: list[str] = []
+    available = set(guarded.columns)
+    for n, (fn, srcs) in merged.items():
+        if fn == "avg":
+            avg_names.append(n)
+            aggs.extend(_avg_partials(n, srcs, with_seeds, projected, available))
+        else:
+            aggs.append(_agg_column(n, fn, srcs, with_seeds, projected))
     out = (
         guarded.groupBy(*SESSION_KEY)
         .agg(*aggs)
@@ -260,6 +298,13 @@ def aggregate_sessions(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
         .withColumn("pattern_id", F.lit(cfg.pattern_id))
         .withColumnRenamed(TASK_ID_COL, "task_id")
     )
+    for n in avg_names:
+        out = out.withColumn(
+            n,
+            F.when(
+                F.col(f"_avg_cnt_{n}") > 0, F.col(f"_avg_sum_{n}") / F.col(f"_avg_cnt_{n}")
+            ),
+        )
     return out
 
 

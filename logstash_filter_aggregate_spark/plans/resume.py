@@ -51,8 +51,14 @@ def seed_rows_from_open(open_maps: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col("creation_ts").alias("_seed_creation_ts"),
         F.col("lastevent_ts").alias("_seed_lastevent_ts"),
         F.col("nevents").alias("_seed_nevents"),
-        *[F.col(n).alias(f"_seed_{n}") for n in merged],
+        *[F.col(n).alias(f"_seed_{n}") for n, (fn, _) in merged.items() if fn != "avg"],
     ]
+    for n, (fn, _) in merged.items():
+        if fn == "avg":
+            # avg merges via its sum/count partials (the open bucket
+            # carries them — correlate._avg_partials), never the bare avg
+            cols.append(F.col(f"_avg_sum_{n}").alias(f"_seed__avg_sum_{n}"))
+            cols.append(F.col(f"_avg_cnt_{n}").alias(f"_seed__avg_cnt_{n}"))
     return open_maps.select(*cols)
 
 

@@ -42,13 +42,17 @@ STATE_SCHEMA = T.StructType(
         T.StructField("lastevent_ts", T.DoubleType()),
         T.StructField("nevents", T.LongType()),
         T.StructField("map_json", T.StringType()),
+        # per-map custom timeout overrides (O17, aggregate.rb:243-246):
+        # set by user rules mid-map, must survive across micro-batches
+        T.StructField("eff_timeout", T.DoubleType()),
+        T.StructField("eff_inactivity", T.DoubleType()),
     ]
 )
 
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("task_id", T.StringType()),
-        T.StructField("sink", T.StringType()),  # completed | timeout
+        T.StructField("sink", T.StringType()),  # completed | timeout | inline
         T.StructField("creation_ts", T.TimestampType()),
         T.StructField("lastevent_ts", T.TimestampType()),
         T.StructField("nevents", T.LongType()),
@@ -128,6 +132,8 @@ def _make_stateful_fn(cfg: PipelineConfig):
             rule_id=r.rule_id,
             map_action=r.map_action,
             end_of_task=r.end_of_task,
+            has_custom_timeout=r.custom_timeout is not None,
+            has_custom_inactivity=r.custom_inactivity_timeout is not None,
             aggs=[(s.name, s.fn, _agg_value_col(r.rule_id, s.name) if s.col else None) for s in r.aggs],
         )
         for r in cfg.rules
@@ -152,18 +158,25 @@ def _make_stateful_fn(cfg: PipelineConfig):
                 )
             )
 
+        def unpack(tup) -> dict:
+            (c, l, n, mj, eto, ein) = tup
+            return dict(
+                creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj,
+                eff_to=eto if eto is not None else timeout_s,
+                eff_in=ein if ein is not None else inactivity_s,
+            )
+
         if state.hasTimedOut:
-            (c, l, n, mj) = state.get
+            st = unpack(state.get)
             if push:
-                emit("timeout", dict(creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj))
+                emit("timeout", st)
             state.remove()
             yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
             return
 
         st: dict | None = None
         if state.exists:
-            (c, l, n, mj) = state.get
-            st = dict(creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj)
+            st = unpack(state.get)
 
         # Spark gives NO ordering guarantee across the Arrow chunks of one
         # key's group (a task whose micro-batch exceeds
@@ -179,10 +192,11 @@ def _make_stateful_fn(cfg: PipelineConfig):
                 if rule is None:
                     continue
                 ts_s = row["ts"].timestamp()
-                # event-time expiry on arrival (aggregate.rb:420-445, O12)
+                # event-time expiry on arrival (aggregate.rb:420-445, O12),
+                # honoring live per-map overrides (aggregate.rb:431-433)
                 if st is not None and (
-                    ts_s - st["creation_ts"] > timeout_s
-                    or ts_s - st["lastevent_ts"] > inactivity_s
+                    ts_s - st["creation_ts"] > st["eff_to"]
+                    or ts_s - st["lastevent_ts"] > st["eff_in"]
                 ):
                     if push:
                         emit("timeout", st)
@@ -192,7 +206,7 @@ def _make_stateful_fn(cfg: PipelineConfig):
                         continue  # no map: update is a no-op (aggregate.rb:203)
                     st = dict(
                         creation_ts=ts_s, lastevent_ts=ts_s, nevents=0,
-                        map_json=json.dumps({}),
+                        map_json=json.dumps({}), eff_to=timeout_s, eff_in=inactivity_s,
                     )
                 elif rule["map_action"] == "create":
                     continue  # duplicate start keeps first map (aggregate.rb:216)
@@ -220,13 +234,32 @@ def _make_stateful_fn(cfg: PipelineConfig):
                         if fnm == "collect_list" or v not in lst:
                             lst.append(v)
                 st["map_json"] = json.dumps(m, default=str)
+                ct = row.get("_custom_timeout") if rule["has_custom_timeout"] else None
+                ci = row.get("_custom_inactivity") if rule["has_custom_inactivity"] else None
+                ct = None if ct is None or ct != ct else float(ct)
+                ci = None if ci is None or ci != ci else float(ci)
                 if rule["end_of_task"]:
                     emit("completed", st)   # aggregate.rb:240
                     st = None
+                elif ct is not None and ct == 0.0:
+                    # map_meta.timeout = 0: immediate eviction, pushed only
+                    # when configured (spec:392-409; aggregate.rb:259-274)
+                    if push:
+                        emit("inline", st)
+                    st = None
+                else:
+                    # >0 overrides apply to the map's later expiry checks
+                    if ct is not None and ct > 0:
+                        st["eff_to"] = ct
+                    if ci is not None and ci > 0:
+                        st["eff_in"] = ci
 
         if st is not None:
-            state.update((st["creation_ts"], st["lastevent_ts"], st["nevents"], st["map_json"]))
-            expiry_s = min(st["creation_ts"] + timeout_s, st["lastevent_ts"] + inactivity_s)
+            state.update((
+                st["creation_ts"], st["lastevent_ts"], st["nevents"], st["map_json"],
+                st["eff_to"], st["eff_in"],
+            ))
+            expiry_s = min(st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"])
             state.setTimeoutTimestamp(int(expiry_s * 1000))
         elif state.exists:
             state.remove()
@@ -253,7 +286,10 @@ def streaming_correlate(
     part = (
         classified.where(F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
         .withWatermark("ts", watermark)
-        .select("_task_id", "_rule_id", "conv_id", "turn_idx", "ts", *value_cols)
+        .select(
+            "_task_id", "_rule_id", "conv_id", "turn_idx", "ts",
+            "_custom_timeout", "_custom_inactivity", *value_cols,
+        )
     )
     return part.groupBy("_task_id").applyInPandasWithState(
         _make_stateful_fn(cfg),

@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (single event-stream exchange, parquet column pruning, filter
+pushdown, broadcast dimension joins) asserted on the actual Catalyst
+plans, so a refactor that silently adds a shuffle or widens a scan
+fails CI instead of surfacing at 100x the data.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_aggregate_spark.operators import dedup
+from logstash_filter_aggregate_spark.plans.pipeline import (
+    example1_config,
+    example5_config,
+    run_pipeline,
+)
+from logstash_filter_aggregate_spark.sources.transcripts import (
+    generate_transcripts,
+    role_dim,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan_in") / "t.parquet")
+    generate_transcripts(spark, n_convs=24, hot_convs=0).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_correlation_stage_single_task_exchange(spark, transcripts_path):
+    # the whole sessionize/guard/aggregate stage must share ONE hash
+    # exchange on the task key: every window and the session groupBy are
+    # co-partitioned (the claim BENCH/BASELINE.md's scaling rests on)
+    t = spark.read.parquet(transcripts_path)
+    out = run_pipeline(spark, t, example5_config(timeout=600.0, inactivity_timeout=300.0))
+    plan = _plan(out.sessions)
+    n_task_exchanges = plan.count("Exchange hashpartitioning(_task_id")
+    assert n_task_exchanges == 1, plan
+
+
+def test_correlation_scan_prunes_unused_columns(spark, transcripts_path):
+    # the correlation branch needs (conv_id, turn_idx, ts, text) — role
+    # and tool must be pruned out of the parquet read by Catalyst
+    t = spark.read.parquet(transcripts_path)
+    out = run_pipeline(spark, t, example5_config(timeout=600.0, inactivity_timeout=300.0))
+    plan = _plan(out.sessions)
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        schema = ln.split("ReadSchema:", 1)[1]
+        assert "role" not in schema and "tool" not in schema, ln
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").where("doc_id < 80")
+    plan = _plan(dedup.exact_dedup(docs))
+    assert "PushedFilters: [" in plan
+    assert "LessThan(doc_id,80)" in plan, plan
+
+
+def test_dim_join_broadcasts(spark, transcripts_path):
+    t = spark.read.parquet(transcripts_path)
+    out = run_pipeline(
+        spark, t, example1_config(timeout=3600.0), dims={"role": role_dim(spark)}
+    )
+    plan = _plan(out.passthrough)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_no_cartesian_or_nested_loop_in_pipeline(spark, transcripts_path):
+    # the watermark scalar rides a broadcast nested loop of exactly one
+    # row; nothing else may cross-join
+    t = spark.read.parquet(transcripts_path)
+    out = run_pipeline(spark, t, example5_config(timeout=600.0, inactivity_timeout=300.0))
+    plan = _plan(out.timeout)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_single_input_scan(spark):
+    # candidate generation via explode+groupBy scans the documents table
+    # ONCE (a self-join formulation would scan and re-hash it twice)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _optimized(dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=8))
+    assert plan.count("Relation [") == 1, plan

@@ -144,3 +144,34 @@ def test_resume_age_cap_crosses_after_split(spark, exact):
     assert [r.clicks for r in ref.timeout.collect()] == [3]
     assert sorted(_fp(a.timeout) + _fp(b.timeout)) == _fp(ref.timeout)
     assert _fp(b.open) == _fp(ref.open)
+
+
+def test_resume_merges_avg(spark):
+    # avg rides sum/count partials in the open bucket, so resumed runs
+    # merge it exactly (a bare average is not a mergeable aggregate)
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "sql", "logger = 'SQL'",
+                aggs=(AggSpec("avg_dur", "avg", "duration"), AggSpec("n", "count")),
+            ),
+        ),
+        timeout=3600.0,
+    )
+    rows = [
+        ("c1", 0, "user", "INFO - t - SQL - q - 10", "none", T0),
+        ("c1", 1, "user", "INFO - t - SQL - q - 20", "none", T0 + dt.timedelta(seconds=30)),
+        ("c1", 2, "user", "INFO - t - SQL - q - 60", "none", T0 + dt.timedelta(seconds=90)),
+    ]
+    full = spark.createDataFrame(rows, _SCHEMA)
+    c1 = full.where(F.col("ts") < F.lit(SPLIT))
+    c2 = full.where(F.col("ts") >= F.lit(SPLIT))
+    ref = run_pipeline(spark, full, cfg)
+    a = run_pipeline(spark, c1, cfg)
+    b = run_pipeline(spark, c2, cfg, open_maps=a.open.localCheckpoint())
+    got = b.open.select("task_id", "avg_dur", "n").collect()
+    exp = ref.open.select("task_id", "avg_dur", "n").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp] == [("t", 30.0, 3)]

@@ -157,3 +157,52 @@ def test_streaming_hot_key_multichunk_order(spark, tmp_path):
     )
     assert len(exp_rows) >= 5  # the test must actually exercise pushes
     assert got_rows == exp_rows
+
+
+def test_streaming_custom_timeouts_match_reference(spark, tmp_path):
+    # O17 in the streaming variant: =0 evicts+pushes immediately (inline
+    # sink), >0 overrides the map's expiry-on-arrival clock
+    import datetime as dt
+    import json
+
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+    from tests.conftest import T0
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "err", "err_code is not null",
+                aggs=(AggSpec("errors", "count"),), custom_timeout="0",
+            ),
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),), custom_timeout="10",
+            ),
+        ),
+        timeout=600.0,
+        push_map_as_event_on_timeout=True,
+    )
+    rows = [
+        # task t: click, error -> immediate eviction with the merged map
+        ("c1", 0, "user", "INFO - t - Clicked One", "none", T0),
+        ("c1", 1, "tool", "ERROR - t - TOOL - http - E503", "http", T0 + dt.timedelta(seconds=1)),
+        # task u: the click override (10s) expires the map at +50
+        ("c2", 0, "user", "INFO - u - Clicked One", "none", T0),
+        ("c2", 1, "user", "INFO - u - Clicked Two", "none", T0 + dt.timedelta(seconds=50)),
+        ("c2", 2, "user", "INFO - u - Clicked Three", "none", T0 + dt.timedelta(seconds=55)),
+    ]
+    p = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(p)
+
+    got = _run_stream(spark, p, lambda src: streaming_correlate(src, cfg), "stream_custom")
+    by = {(r.task_id, r.sink): r for r in got.collect()}
+    inline = by[("t", "inline")]
+    assert inline.nevents == 2
+    assert json.loads(inline.map_json) == {"clicks": 1, "errors": 1}
+    pushed = by[("u", "timeout")]
+    assert json.loads(pushed.map_json) == {"clicks": 1}  # expired by the 10s override
+    assert ("u", "inline") not in by and ("u", "completed") not in by
