@@ -94,11 +94,55 @@ def bench_queries(spark, transcripts_path: str):
         qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
         _noop(similarity.brute_force_topk(emb, qv, k=10))
 
+    # heavy-skew input for the prereduce pair: 40% of all turns in ONE
+    # conversation — the shape where a per-task window straggles
+    hotskew_path = f"{CACHE_DIR}/transcripts_hotskew_{TURNS}.parquet"
+    if not os.path.exists(f"{hotskew_path}/_SUCCESS"):
+        from logstash_filter_aggregate_spark.sources.transcripts import generate_for_turns
+        generate_for_turns(spark, TURNS, hot_fraction=0.4, partitions=max(CPUS * 2, 16)).write.mode(
+            "overwrite"
+        ).parquet(hotskew_path)
+    th = spark.read.parquet(hotskew_path)
+
+    def q_hotskew_plain():
+        out = run_pipeline(spark, th, example3_config(timeout=100_000.0, inactivity_timeout=120.0))
+        _noop(out.sessions)
+
+    def q_hotskew_prereduced():
+        # same job with per-(task, bucket) pre-reduction: the hot
+        # conversation collapses before the ordered window
+        out = run_pipeline(
+            spark, th, example3_config(timeout=100_000.0, inactivity_timeout=120.0),
+            prereduce_s=120.0,
+        )
+        _noop(out.sessions)
+
+    def q_push_previous_exact():
+        # the distributed global-index path (operators/order.py)
+        from __spark_entry__ import _o16_push_previous_interleaved
+        _noop(_o16_push_previous_interleaved(spark, SF_DIR))
+
+    def q_exact_age_hot_task():
+        # 1M-row single conversation through the exact age-cap scan
+        # (applyInPandas fast path; the sort+Arrow of one giant group is
+        # the dominating cost, the scan itself is the 34x microbench)
+        from logstash_filter_aggregate_spark.sources.transcripts import generate_transcripts
+        hot = generate_transcripts(spark, n_convs=0, hot_convs=1, hot_turns=1_000_000)
+        out = run_pipeline(
+            spark, hot,
+            example3_config(timeout=600.0, inactivity_timeout=600.0, exact_age_cap=True),
+        )
+        _noop(out.sessions)
+
     return {
         "pipeline_example1": q_pipeline_example1,
         "pipeline_clicks_timeout": q_pipeline_clicks_timeout,
         "pipeline_events_gap": q_pipeline_events_gap,
         "passthrough_route": q_passthrough_route,
+        "hotskew_plain": q_hotskew_plain,
+        "hotskew_prereduced": q_hotskew_prereduced,
+        "push_previous_exact": q_push_previous_exact,
+        "exact_age_hot_task": q_exact_age_hot_task,
         "dedup_minhash": q_dedup_minhash,
         "dedup_exact": q_dedup_exact,
         "textstats": q_textstats,
