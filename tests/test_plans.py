@@ -35,12 +35,19 @@ def transcripts_path(spark, tmp_path_factory):
     return p
 
 
-def test_correlation_stage_single_task_exchange(spark, transcripts_path):
+@pytest.mark.parametrize(
+    "cfg_fn",
+    [
+        lambda: example5_config(timeout=600.0, inactivity_timeout=300.0),
+        lambda: example1_config(timeout=3600.0),  # guards add more windows — same key
+    ],
+)
+def test_correlation_stage_single_task_exchange(spark, transcripts_path, cfg_fn):
     # the whole sessionize/guard/aggregate stage must share ONE hash
     # exchange on the task key: every window and the session groupBy are
     # co-partitioned (the claim BENCH/BASELINE.md's scaling rests on)
     t = spark.read.parquet(transcripts_path)
-    out = run_pipeline(spark, t, example5_config(timeout=600.0, inactivity_timeout=300.0))
+    out = run_pipeline(spark, t, cfg_fn())
     plan = _plan(out.sessions)
     n_task_exchanges = plan.count("Exchange hashpartitioning(_task_id")
     assert n_task_exchanges == 1, plan
