@@ -1,0 +1,202 @@
+"""Randomized equivalence fuzz: the batch engine (exact mode) vs an
+independent pure-Python simulator of the reference's per-event state
+machine (written from the documented semantics, SURVEY.md §3.2 /
+``aggregate.rb:179-255``: expiry-on-arrival before the guard, duplicate
+``create`` returns before the lastevent update, ``update`` without a map
+is a no-op, ``end_of_task`` deletes, ``map_meta.timeout=0`` evicts
+immediately, >0 overrides the map's later checks, end-of-input watermark
+classifies survivors).
+
+60 seeded-random streams share 4 pipeline runs (one per config shape):
+each stream gets its own task id, so one DataFrame union exercises all
+of them in a single engine pass.
+"""
+
+import datetime as dt
+import random
+
+from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+from logstash_filter_aggregate_spark.plans.pipeline import run_pipeline
+from tests.conftest import T0
+
+
+class _Rule:
+    def __init__(self, action="create_or_update", end=False, custom_to=None, custom_in=None,
+                 agg_val=False):
+        self.action = action
+        self.end = end
+        self.custom_to = custom_to
+        self.custom_in = custom_in
+        self.agg_val = agg_val  # contributes its value to val_sum
+
+
+def simulate(rows, rules, timeout, inactivity, wm):
+    """rows: [(kind, ts_s, val)] in ts order, one task. Returns
+    [(bucket, nevents, creation, last, val_sum, n_rows)]."""
+    out = []
+    st = None
+
+    def close(bucket):
+        out.append((bucket, st["n"], st["creation"], st["last"], st["sum"], st["rows"]))
+
+    for kind, ts, val in rows:
+        rule = rules.get(kind)
+        if rule is None:
+            continue
+        # event-time expiry on arrival, BEFORE the guard (aggregate.rb:194-199)
+        if st is not None and (
+            ts - st["creation"] > st["eff_to"] or ts - st["last"] > st["eff_in"]
+        ):
+            close("timeout")
+            st = None
+        if st is None:
+            if rule.action == "update":
+                continue  # no map: total no-op (aggregate.rb:203)
+            st = dict(creation=ts, last=ts, n=0, sum=0, rows=0,
+                      eff_to=timeout, eff_in=inactivity)
+        elif rule.action == "create":
+            continue  # duplicate start: no clock refresh (aggregate.rb:216,220)
+        st["last"] = ts
+        st["n"] += 1
+        st["rows"] += 1
+        if rule.agg_val:
+            st["sum"] += val
+        if rule.end:
+            close("completed")
+            st = None
+            continue
+        if rule.custom_to is not None and rule.custom_to == 0:
+            close("inline")
+            st = None
+            continue
+        if rule.custom_to is not None and rule.custom_to > 0:
+            st["eff_to"] = rule.custom_to
+        if rule.custom_in is not None and rule.custom_in > 0:
+            st["eff_in"] = rule.custom_in
+    if st is not None:
+        if wm - st["creation"] > st["eff_to"] or wm - st["last"] > st["eff_in"]:
+            close("timeout")
+        else:
+            close("open")
+    return sorted(out)
+
+
+# kind -> (text template, carries val). Task id is injected per stream.
+_LINES = {
+    "start": "INFO - {tid} - TASK_START - begin",
+    "sql": "INFO - {tid} - SQL - q - {val}",
+    "end": "INFO - {tid} - TASK_END - done",
+    "click": "INFO - {tid} - Clicked One",
+    "err": "ERROR - {tid} - TOOL - http - E503",
+}
+
+
+def _scenario_rows(rng, kinds, n_min=5, n_max=25):
+    t = 0
+    rows = []
+    for i in range(rng.randint(n_min, n_max)):
+        t += rng.choice([1, 5, 30, 60, 130, 300])
+        kind = rng.choice(kinds)
+        rows.append((kind, float(t), rng.randint(1, 9)))
+    return rows
+
+
+# the four config shapes; each: (PipelineConfig kwargs, simulator rules,
+# kinds the generator may emit)
+def _shapes():
+    sql_sum = (AggSpec("val_sum", "sum", "coalesce(duration, 0)"),)
+    return {
+        "gaps": (
+            dict(
+                rules=(CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),),
+                timeout=200.0, inactivity_timeout=100.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {"sql": _Rule(agg_val=True)},
+            ["sql"],
+        ),
+        "guards_end": (
+            dict(
+                rules=(
+                    CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+                    CorrelationRule("sql", "logger = 'SQL'", map_action="update", aggs=sql_sum),
+                    CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                    end_of_task=True),
+                ),
+                timeout=250.0, inactivity_timeout=250.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {
+                "start": _Rule(action="create"),
+                "sql": _Rule(action="update", agg_val=True),
+                "end": _Rule(action="update", end=True),
+            },
+            ["start", "sql", "end"],
+        ),
+        "custom": (
+            dict(
+                rules=(
+                    CorrelationRule("err", "err_code is not null", custom_timeout="0"),
+                    CorrelationRule("click", "click_target is not null",
+                                    custom_timeout="50"),
+                    CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),
+                ),
+                timeout=400.0, inactivity_timeout=400.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {
+                "err": _Rule(custom_to=0),
+                "click": _Rule(custom_to=50.0),
+                "sql": _Rule(agg_val=True),
+            },
+            ["err", "click", "sql"],
+        ),
+        "end_and_gaps": (
+            dict(
+                rules=(
+                    CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),
+                    CorrelationRule("end", "logger = 'TASK_END'", end_of_task=True),
+                ),
+                timeout=150.0, inactivity_timeout=80.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {"sql": _Rule(agg_val=True), "end": _Rule(end=True)},
+            ["sql", "end"],
+        ),
+    }
+
+
+def test_fuzz_engine_matches_reference_simulator(spark):
+    rng = random.Random(20260816)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    for shape, (cfg_kw, sim_rules, kinds) in _shapes().items():
+        cfg = PipelineConfig(task_id="%{taskid}", exact_age_cap=True, **cfg_kw)
+        streams = {
+            f"{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=40) for i in range(25)
+        }
+        data = []
+        wm = 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                txt = _LINES[kind].format(tid=tid, val=val)
+                data.append((tid, j, "user", txt, "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        df = spark.createDataFrame(data, schema).repartition(5)
+        out = run_pipeline(spark, df, cfg)
+
+        got: dict[str, list] = {tid: [] for tid in streams}
+        for bucket in ("completed", "timeout", "inline", "open"):
+            for r in getattr(out, bucket).collect():
+                got[r.task_id].append((
+                    bucket, r.nevents,
+                    (r.creation_ts - T0).total_seconds(),
+                    (r.lastevent_ts - T0).total_seconds(),
+                    int(r.val_sum or 0), r.nevents,
+                ))
+        for tid, rows in streams.items():
+            exp = simulate(rows, sim_rules, cfg.timeout,
+                           cfg.effective_inactivity_timeout, wm)
+            exp_cmp = [(b, n, c, l, s, rr) for (b, n, c, l, s, rr) in exp]
+            assert sorted(got[tid]) == sorted(exp_cmp), (
+                shape, tid, rows, sorted(got[tid]), sorted(exp_cmp)
+            )
