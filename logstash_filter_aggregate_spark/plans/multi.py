@@ -22,12 +22,24 @@ def run_multi(
     spark: SparkSession,
     transcripts: DataFrame,
     configs: list[PipelineConfig],
+    groks=None,
+    parse_backend: str = "jvm",
     **kwargs,
 ) -> dict[str, PipelineOutputs]:
     """One outputs bundle per pattern_id. Same task-id value under two
-    patterns never shares state (spec'd by the nested-hash keying)."""
+    patterns never shares state (spec'd by the nested-hash keying).
+
+    The grok parse — the most expensive stage — runs ONCE and is shared
+    by every pattern's pipeline (the reference also parses upstream of
+    all its aggregate filters)."""
+    from logstash_filter_aggregate_spark.plans.pipeline import parse
+
     validate_configs(configs)
-    return {cfg.pattern_id: run_pipeline(spark, transcripts, cfg, **kwargs) for cfg in configs}
+    parsed = parse(transcripts, groks, backend=parse_backend)
+    return {
+        cfg.pattern_id: run_pipeline(spark, parsed, cfg, pre_parsed=True, **kwargs)
+        for cfg in configs
+    }
 
 
 def map_count_gauge(sessions: DataFrame, warning_threshold: int = 5000) -> DataFrame:

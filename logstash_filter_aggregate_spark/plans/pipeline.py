@@ -148,6 +148,7 @@ def run_pipeline(
     prereduce_s: float | None = None,
     prereduce_assume_no_expiry: bool = False,
     cache_sessions: bool = False,
+    pre_parsed: bool = False,
 ) -> PipelineOutputs:
     """``open_maps``: the previous run's ``open`` bucket — resumes the
     still-live maps (plans/resume.py, the aggregate_maps_path analog).
@@ -159,7 +160,10 @@ def run_pipeline(
     boundaries (opting in accepts that)."""
     from logstash_filter_aggregate_spark.plans.resume import inject_seeds
 
-    parsed = parse(transcripts, groks, backend=parse_backend)
+    # pre_parsed: the caller already ran parse() (run_multi shares one
+    # parse across patterns — the parse stage is the most expensive one,
+    # so M patterns must not pay it M times)
+    parsed = transcripts if pre_parsed else parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
     if prereduce_s is not None:
