@@ -175,3 +175,25 @@ def test_resume_merges_avg(spark):
     got = b.open.select("task_id", "avg_dur", "n").collect()
     exp = ref.open.select("task_id", "avg_dur", "n").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp] == [("t", 30.0, 3)]
+
+
+def test_resume_roundtrips_through_parquet(spark, tmp_path):
+    # the real persistence path: run A's open bucket lands in a parquet
+    # sink, run B reads it back from disk and seeds from it
+    cfg = example3_config(timeout=100.0, inactivity_timeout=100.0)
+    rows = [
+        ("c1", 0, "user", "INFO - t - Clicked One", "none", T0),
+        ("c1", 1, "user", "INFO - t - Clicked Two", "none", T0 + dt.timedelta(seconds=50)),
+        ("c1", 2, "user", "INFO - t - Clicked Three", "none", T0 + dt.timedelta(seconds=90)),
+        ("c1", 3, "user", "INFO - t - Clicked Four", "none", T0 + dt.timedelta(seconds=120)),
+    ]
+    full = spark.createDataFrame(rows, _SCHEMA)
+    c1 = full.where(F.col("ts") < F.lit(SPLIT))
+    c2 = full.where(F.col("ts") >= F.lit(SPLIT))
+    ref = run_pipeline(spark, full, cfg)
+    a = run_pipeline(spark, c1, cfg)
+    p = str(tmp_path / "open_a")
+    a.open.write.mode("overwrite").parquet(p)
+    b = run_pipeline(spark, c2, cfg, open_maps=spark.read.parquet(p))
+    assert sorted(_fp(a.timeout) + _fp(b.timeout)) == _fp(ref.timeout)
+    assert _fp(b.open) == _fp(ref.open)
