@@ -200,12 +200,13 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv_id, ``event_type`` is embedded in a grok-able text line.
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # turn_idx only serves as the stable tiebreak inside the engine's
+    # (ts, conv_id, turn_idx) total order — event_id induces the SAME
+    # order as a per-user row_number over (ts, event_id) would, without
+    # paying a window shuffle in every query that uses this adapter
     return ev.select(
         F.format_string("conv-%d", "user_id").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.format_string(
             "INFO - %d - EVENT - %s - %d", "user_id", "event_type",

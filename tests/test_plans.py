@@ -98,3 +98,16 @@ def test_minhash_single_input_scan(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _optimized(dedup.minhash_lsh_candidates(docs, k=3, num_hashes=16, bands=8))
     assert plan.count("Relation [") == 1, plan
+
+
+def test_push_previous_exact_has_no_global_window(spark):
+    # the exact interleaved mode must compute its global index with the
+    # two-pass ranking, never a partition-less window: every Window
+    # operator in the plan must be partitioned by the task key
+    from __spark_entry__ import _o16_push_previous_interleaved
+
+    df = _o16_push_previous_interleaved(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    for ln in plan.splitlines():
+        if ln.strip().startswith(("Window ", "+- Window", ":- Window")) or "RunningWindowFunction" in ln:
+            assert "_task_id" in ln, ln
