@@ -163,6 +163,22 @@ def _shapes():
             {"sql": _Rule(agg_val=True), "end": _Rule(end=True)},
             ["sql", "end"],
         ),
+        "custom_inactivity": (
+            dict(
+                rules=(
+                    CorrelationRule("click", "click_target is not null",
+                                    custom_inactivity_timeout="40"),
+                    CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),
+                ),
+                timeout=500.0, inactivity_timeout=500.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {
+                "click": _Rule(custom_in=40.0),
+                "sql": _Rule(agg_val=True),
+            },
+            ["click", "sql"],
+        ),
     }
 
 

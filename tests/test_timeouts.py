@@ -341,3 +341,32 @@ def test_exact_scan_fast_path_equals_slow_and_is_faster():
 
     assert np.array_equal(age_fast, age_slow)
     assert slow_s / max(fast_s, 1e-9) >= 10, (fast_s, slow_s)
+
+
+def test_custom_inactivity_override_exact_mode(spark):
+    # spec:410-421 inactivity variant: map_meta.inactivity_timeout=30 set
+    # by a click shrinks THIS map's gap clock; the pattern default (600s)
+    # applies again once a fresh map starts
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),),
+                custom_inactivity_timeout="30",
+            ),
+        ),
+        timeout=600.0,
+        inactivity_timeout=600.0,
+        push_map_as_event_on_timeout=True,
+        exact_age_cap=True,
+    )
+    rows = [
+        (0, "INFO - t - Clicked One", 0),
+        (1, "INFO - t - Clicked Two", 100),   # gap 100 > custom 30 -> new map
+        (2, "INFO - t - Clicked Three", 120),  # gap 20 <= 30 -> same map
+    ]
+    out = run_pipeline(spark, make_transcript(spark, rows), cfg)
+    pushed = out.timeout.collect()
+    assert len(pushed) == 1 and pushed[0].clicks == 1
+    assert [r.clicks for r in out.open.collect()] == [2]
