@@ -664,8 +664,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dd_minhash_lsh"] = dd_minhash
 
-    def dd_simhash(spark, sf):  # rows-only: DuckDB lacks xxhash64
-        return dedup.simhash_near_dups(_docs(spark, sf), max_hamming=10)
+    def dd_simhash(spark, sf):
+        # property oracle: identical text => identical SimHash => hamming 0
+        # and all 4 pigeonhole blocks equal, so every identical-text pair
+        # MUST surface as a candidate regardless of banding. Plant copies
+        # of the first 5 docs; engine candidates ∩ the identical-text pair
+        # relation must equal that relation exactly (recall check — the
+        # inner join bounds precision by construction, as in dd_minhash_lsh).
+        d = _docs(spark, sf).select("doc_id", "text")
+        planted = d.where("doc_id < 5").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        alld = d.unionByName(planted)
+        cand = dedup.simhash_near_dups(alld, max_hamming=10, max_bucket=8192)
+        a, b = alld.alias("a"), alld.alias("b")
+        exact = a.join(
+            b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        return cand.join(exact, ["id_a", "id_b"]).select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        )
     q["dd_simhash"] = dd_simhash
 
     # --- similarity family
@@ -716,8 +734,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
     q["sim_ivf_topk"] = sim_ivf
 
-    def sim_neardup(spark, sf):  # rows-only: xxhash64 hyperplanes
-        return similarity.embedding_near_dup_pairs(_emb(spark, sf), num_planes=8, min_cosine=0.3).select(
+    def sim_neardup(spark, sf):
+        # property oracle: identical embeddings => identical hyperplane
+        # signature => same bucket => exact-cosine verify at 1.0. Plant
+        # copies of the first 5 vectors; engine pairs ∩ the identical-
+        # embedding relation must equal that relation (recall check; the
+        # inner join bounds precision, as in dd_minhash_lsh/dd_simhash).
+        e = _emb(spark, sf).select("vec_id", "embedding")
+        planted = e.where("vec_id < 5").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        allv = e.unionByName(planted)
+        pairs = similarity.embedding_near_dup_pairs(
+            allv, num_planes=8, min_cosine=0.99, max_bucket=8192
+        )
+        a, b = allv.alias("a"), allv.alias("b")
+        exact = a.join(
+            b,
+            (F.col("a.embedding") == F.col("b.embedding"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        return pairs.join(exact, ["id_a", "id_b"]).select(
             "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
         )
     q["sim_embedding_near_dup"] = sim_neardup
@@ -1140,6 +1177,30 @@ def oracle_sql() -> dict[str, str]:
     # property oracle for MinHash+LSH: candidates verified at exact
     # jaccard >= 0.6 must equal the exact pair set (see queries())
     o["dd_minhash_lsh"] = _NGRAM_SQL.format(doc_filter="", threshold="0.6")
+    # property oracle for SimHash: planted identical-text copies (and any
+    # natural duplicate texts) have hamming 0 and must all be candidates
+    o["dd_simhash"] = """
+        WITH alld AS (
+          SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id + 1000000 AS BIGINT) AS id, text
+          FROM documents WHERE doc_id < 5
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
+        FROM alld a JOIN alld b ON a.text = b.text AND a.id < b.id
+    """
+    # property oracle for embedding near-dup: planted identical embeddings
+    # share the full LSH signature and verify at cosine 1.0
+    o["sim_embedding_near_dup"] = """
+        WITH allv AS (
+          SELECT CAST(vec_id AS BIGINT) AS id, embedding FROM embeddings
+          UNION ALL
+          SELECT CAST(vec_id + 1000000 AS BIGINT) AS id, embedding
+          FROM embeddings WHERE vec_id < 5
+        )
+        SELECT a.id AS id_a, b.id AS id_b, CAST(1.0 AS DOUBLE) AS cos_sim
+        FROM allv a JOIN allv b ON a.embedding = b.embedding AND a.id < b.id
+    """
     _BRUTE_TOPK_SQL = """
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT vec_id,
