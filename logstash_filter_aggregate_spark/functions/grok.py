@@ -46,6 +46,23 @@ _TIME = r"\d{1,2}:\d{2}(?::\d{2}(?:\.\d+)?)?"
 _UNIXPATH = r"(?:/[\w@.,:%+~-]*)+"
 _WINPATH = r"(?:[A-Za-z]:|\\)(?:\\[^\\?*\s]*)+"
 _PROG = r"[\w._/%-]+"
+_DAY = r"\b(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)\b"
+_MONTHNUM = r"(?:0?[1-9]|1[0-2])"
+_MONTHNUM2 = r"(?:0[1-9]|1[0-2])"
+_DATE_US = rf"{_MONTHNUM}[/-](?:0[1-9]|[12]\d|3[01]|[1-9])[/-]{_YEAR}"
+_DATE_EU = rf"(?:0[1-9]|[12]\d|3[01]|[1-9])[./-]{_MONTHNUM}[./-]{_YEAR}"
+_TZ = r"(?:UTC|GMT|[APMCE][SD]T)"
+_ISO8601_TIMEZONE = r"(?:Z|[+-]\d{2}(?::?\d{2})?)"
+_TIMESTAMP_ISO8601 = (
+    rf"\d{{4}}-{_MONTHNUM2}-(?:0[1-9]|[12]\d|3[01])[T ]"
+    rf"(?:2[0123]|[01]\d):(?:[0-5]\d)(?::(?:[0-5]\d|60)(?:\.\d+)?)?{_ISO8601_TIMEZONE}?"
+)
+_COMMONMAC = r"(?:[0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}"
+_WINDOWSMAC = r"(?:[0-9A-Fa-f]{2}-){5}[0-9A-Fa-f]{2}"
+_CISCOMAC = r"(?:[0-9A-Fa-f]{4}\.){2}[0-9A-Fa-f]{4}"
+_URIPATH = r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+"
+_URIPARAM = r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*"
+_URIPATHPARAM = rf"{_URIPATH}(?:{_URIPARAM})?"
 
 BASE_PATTERNS: dict[str, str] = {
     "WORD": r"\b\w+\b",
@@ -94,8 +111,41 @@ BASE_PATTERNS: dict[str, str] = {
     "TTY": r"/dev/(?:pts|tty[pq]?)\w*",
     "URIPROTO": r"[A-Za-z](?:[A-Za-z0-9+.-]+)",
     "URIHOST": rf"{_IPORHOST}(?::\d{{1,5}})?",
-    "URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_-]*)+",
-    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\[\]<>-]*",
+    "URIPATH": _URIPATH,
+    "URIPARAM": _URIPARAM,
+    "URIPATHPARAM": _URIPATHPARAM,
+    "URI": rf"[A-Za-z][A-Za-z0-9+.-]+://(?:{_USERNAME}(?::[^@]*)?@)?{_IPORHOST}(?::\d{{1,5}})?(?:{_URIPATHPARAM})?",
+    # date/time family
+    "DAY": _DAY,
+    "MONTHNUM2": _MONTHNUM2,
+    "DATE_US": _DATE_US,
+    "DATE_EU": _DATE_EU,
+    "DATE": rf"(?:{_DATE_US}|{_DATE_EU})",
+    "DATESTAMP": rf"(?:{_DATE_US}|{_DATE_EU})[- ]{_TIME}",
+    "TZ": _TZ,
+    "ISO8601_TIMEZONE": _ISO8601_TIMEZONE,
+    "ISO8601_SECOND": r"(?:[0-5]\d|60)(?:\.\d+)?",
+    "TIMESTAMP_ISO8601": _TIMESTAMP_ISO8601,
+    "DATESTAMP_RFC822": rf"{_DAY} {_MONTH} {_MONTHDAY} {_YEAR} {_TIME} {_TZ}",
+    "DATESTAMP_RFC2822": rf"{_DAY}, {_MONTHDAY} {_MONTH} {_YEAR} {_TIME} {_ISO8601_TIMEZONE}",
+    "DATESTAMP_OTHER": rf"{_DAY} {_MONTH} {_MONTHDAY} {_TIME} {_TZ} {_YEAR}",
+    "DATESTAMP_EVENTLOG": rf"\d{{4}}{_MONTHNUM2}(?:0[1-9]|[12]\d|3[01])(?:2[0123]|[01]\d)(?:[0-5]\d)(?:[0-5]\d)",
+    "CISCOTIMESTAMP": rf"{_MONTH} +{_MONTHDAY} {_TIME}",
+    "HTTPDERROR_DATE": rf"{_DAY} {_MONTH} {_MONTHDAY} {_TIME} {_YEAR}",
+    # number / identifier extras
+    "BASE16NUM": r"[+-]?(?:0[xX])?[0-9A-Fa-f]+",
+    "BASE16FLOAT": r"[+-]?(?:0[xX])?[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?",
+    "EMAILLOCALPART": r"[a-zA-Z0-9_.+-]+",
+    # MAC addresses
+    "COMMONMAC": _COMMONMAC,
+    "WINDOWSMAC": _WINDOWSMAC,
+    "CISCOMAC": _CISCOMAC,
+    "MAC": rf"(?:{_CISCOMAC}|{_WINDOWSMAC}|{_COMMONMAC})",
+    # syslog / java extras
+    "SYSLOGFACILITY": r"<\d+(?:\.\d+)?>",
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVAFILE": r"[A-Za-z0-9_. -]+",
+    "JAVAMETHOD": r"(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)",
 }
 
 # Composite grok EXPRESSIONS (with capture semantics) for the classic
@@ -107,6 +157,10 @@ COMMONAPACHELOG_GROK = (
 )
 COMBINEDAPACHELOG_GROK = (
     COMMONAPACHELOG_GROK + r' %{QS:referrer} %{QS:agent}'
+)
+SYSLOGBASE_GROK = (
+    r'%{SYSLOGTIMESTAMP:timestamp} (?:%{SYSLOGFACILITY} )?'
+    r'%{SYSLOGHOST:logsource} %{SYSLOGPROG:program}:'
 )
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
@@ -206,15 +260,32 @@ def compile_grok(
     regex = _GROK_REF.sub(_sub, pattern)
     if anchored:
         regex = f"^{regex}$"
-    # Group indexes: count '(' that open capturing groups, in order. Our
-    # generated regex only has named captures and (?:...) groups from the
-    # dictionary, plus whatever capturing groups the user wrote literally.
+    # Group indexes: count '(' that open capturing groups, in order,
+    # exactly as the Java engine will — skipping escaped \( and ( inside
+    # character classes, and (?: (?= (?! (?<= (?<! non-capturing opens.
     group_index: dict[str, int] = {}
     idx = 0
-    for m in re.finditer(r"\((?!\?[:=!])(?:\?<(\w+)>)?", regex):
-        idx += 1
-        if m.group(1):
-            group_index[alias[m.group(1)]] = idx
+    i, n, in_class = 0, len(regex), False
+    while i < n:
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            rest = regex[i + 1 : i + 4]
+            named = re.match(r"\?<(\w+)>", regex[i + 1 :])
+            if named:
+                idx += 1
+                group_index[alias[named.group(1)]] = idx
+            elif not rest.startswith("?"):
+                idx += 1  # plain user-written capturing group
+            # (?:…) (?=…) (?!…) (?<=…) (?<!…) open no group
+        i += 1
     return CompiledGrok(
         name=name, regex=regex, captures=tuple(captures), types=types,
         group_index=group_index, alias=alias,

@@ -91,6 +91,17 @@ SAMPLE_LINES = {
     "URIPATH": ("%{URIPATH:p}", "/a/b_c/d-1", "p", "/a/b_c/d-1"),
     "EMAILADDRESS": ("%{EMAILADDRESS:e}", "dev.ops+x@mail.example.org", "e", "dev.ops+x@mail.example.org"),
     "SYSLOGPROG": ("%{SYSLOGPROG:p}: y", "sshd[4123]: y", "p", "sshd[4123]"),
+    "TIMESTAMP_ISO8601": ("%{TIMESTAMP_ISO8601:t} x", "2024-03-07T09:15:02.250+01:00 x", "t", "2024-03-07T09:15:02.250+01:00"),
+    "DATESTAMP": ("%{DATESTAMP:t}", "03/07/2024 09:15:02", "t", "03/07/2024 09:15:02"),
+    "DATE_EU": ("%{DATE_EU:d}", "7.3.2024", "d", "7.3.2024"),
+    "DATESTAMP_RFC2822": ("%{DATESTAMP_RFC2822:t}", "Thu, 07 Mar 2024 09:15:02 +0000", "t", "Thu, 07 Mar 2024 09:15:02 +0000"),
+    "DATESTAMP_EVENTLOG": ("%{DATESTAMP_EVENTLOG:t}", "20240307091502", "t", "20240307091502"),
+    "MAC_common": ("%{MAC:m}", "aa:bb:cc:00:11:22", "m", "aa:bb:cc:00:11:22"),
+    "MAC_cisco": ("%{MAC:m}", "aabb.cc00.1122", "m", "aabb.cc00.1122"),
+    "URI": ("%{URI:u}", "https://user@api.example.com:8443/v1/items?id=3&x=y", "u", "https://user@api.example.com:8443/v1/items?id=3&x=y"),
+    "BASE16NUM": ("addr=%{BASE16NUM:a}", "addr=0xDEADbeef", "a", "0xDEADbeef"),
+    "SYSLOGFACILITY": ("%{SYSLOGFACILITY:f}x", "<13.2>x", "f", "<13.2>"),
+    "JAVACLASS": ("at %{JAVACLASS:c}\\.%{JAVAMETHOD:m}\\(%{JAVAFILE:f}:%{INT:l:int}\\)", "at org.example.Foo$Bar.run(Foo.java:42)", "c", "org.example.Foo$Bar"),
 }
 
 
@@ -102,6 +113,34 @@ def test_core_pattern_breadth(spark, case):
     r = apply_grok_jvm(df, "text", [g]).first()
     assert r.parse_tags == []
     assert getattr(r, cap) == expect
+
+
+def test_every_base_pattern_compiles_both_dialects():
+    # every dictionary entry must be valid in BOTH regex dialects the two
+    # backends use: Python re (pandas backend) and, structurally, Java —
+    # approximated by rejecting Python-only constructs ((?P<, (?#, \A..)
+    import re as _re
+
+    from logstash_filter_aggregate_spark.functions.grok import BASE_PATTERNS
+
+    for name, rx in BASE_PATTERNS.items():
+        _re.compile(rx)  # python dialect
+        assert "(?P<" not in rx and "(?#" not in rx, name
+
+
+def test_syslogbase_composite(spark):
+    from logstash_filter_aggregate_spark.functions.grok import SYSLOGBASE_GROK
+
+    g = compile_grok("syslog", SYSLOGBASE_GROK + " %{GREEDYDATA:msg}")
+    df = make_transcript(
+        spark, [(0, "Oct  1 13:55:36 web-01.example.com sshd[4123]: accepted", 0)]
+    )
+    r = apply_grok_jvm(df, "text", [g]).first()
+    assert r.parse_tags == []
+    assert r.timestamp == "Oct  1 13:55:36"
+    assert r.logsource == "web-01.example.com"
+    assert r.program == "sshd[4123]"
+    assert r.msg == "accepted"
 
 
 def test_common_apache_log_composite(spark):
