@@ -115,6 +115,16 @@ def test_core_pattern_breadth(spark, case):
     assert getattr(r, cap) == expect
 
 
+def test_delimiter_byte_in_captured_value_falls_back(spark):
+    # the single-pass replace+split extraction joins groups on \x01; a
+    # matched line CONTAINING \x01 inside a capture must still extract
+    # correctly via the per-capture regexp_extract fallback
+    g = compile_grok("kv", r"%{WORD:k}=%{GREEDYDATA:v}")
+    df = make_transcript(spark, [(0, "key=a\x01b\x01c", 0), (1, "key2=plain", 0)])
+    rows = {r.k: r.v for r in apply_grok_jvm(df, "text", [g]).collect()}
+    assert rows == {"key": "a\x01b\x01c", "key2": "plain"}
+
+
 def test_every_base_pattern_compiles_both_dialects():
     # every dictionary entry must be valid in BOTH regex dialects the two
     # backends use: Python re (pandas backend) and, structurally, Java —
