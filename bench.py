@@ -156,6 +156,14 @@ def main() -> None:
     n_turns = spark.read.parquet(tpath).count()
 
     queries = bench_queries(spark, tpath)
+
+    # untimed warmup: run the headline query once on a 1% slice so JIT +
+    # whole-stage-codegen compilation happen before the clock starts —
+    # the metric is steady-state throughput (what a long-running cluster
+    # job sees), not single-job JVM warmup
+    t_small = spark.read.parquet(tpath).limit(max(n_turns // 100, 1000))
+    _noop(run_pipeline(spark, t_small, example1_config(timeout=3600.0)).sessions)
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
