@@ -163,6 +163,32 @@ def _shapes():
             {"sql": _Rule(agg_val=True), "end": _Rule(end=True)},
             ["sql", "end"],
         ),
+        "guarded_custom_mix": (
+            # maximal interaction surface: create/update guards + a custom
+            # absolute timeout set AT creation + a custom inactivity
+            # override mid-map + end_of_task deletion, all in one config
+            dict(
+                rules=(
+                    CorrelationRule("start", "logger = 'TASK_START'", map_action="create",
+                                    custom_timeout="120"),
+                    CorrelationRule("sql", "logger = 'SQL'", map_action="update",
+                                    aggs=sql_sum),
+                    CorrelationRule("err", "err_code is not null", map_action="update",
+                                    custom_inactivity_timeout="60"),
+                    CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                    end_of_task=True),
+                ),
+                timeout=300.0, inactivity_timeout=200.0,
+                push_map_as_event_on_timeout=True,
+            ),
+            {
+                "start": _Rule(action="create", custom_to=120.0),
+                "sql": _Rule(action="update", agg_val=True),
+                "err": _Rule(action="update", custom_in=60.0),
+                "end": _Rule(action="update", end=True),
+            },
+            ["start", "sql", "err", "end"],
+        ),
         "custom_inactivity": (
             dict(
                 rules=(
