@@ -117,6 +117,13 @@ def bench_queries(spark, transcripts_path: str):
         )
         _noop(out.sessions)
 
+    hot1m_path = f"{CACHE_DIR}/transcripts_hot1m.parquet"
+    if not os.path.exists(f"{hot1m_path}/_SUCCESS"):
+        from logstash_filter_aggregate_spark.sources.transcripts import generate_transcripts
+        generate_transcripts(
+            spark, n_convs=0, hot_convs=1, hot_turns=1_000_000
+        ).write.mode("overwrite").parquet(hot1m_path)
+
     def q_push_previous_exact():
         # the distributed global-index path (operators/order.py)
         from __spark_entry__ import _o16_push_previous_interleaved
@@ -125,11 +132,11 @@ def bench_queries(spark, transcripts_path: str):
     def q_exact_age_hot_task():
         # 1M-row single conversation through the exact age-cap scan
         # (applyInPandas fast path; the sort+Arrow of one giant group is
-        # the dominating cost, the scan itself is the 34x microbench)
-        from logstash_filter_aggregate_spark.sources.transcripts import generate_transcripts
-        hot = generate_transcripts(spark, n_convs=0, hot_convs=1, hot_turns=1_000_000)
+        # the dominating cost, the scan itself is the 34x microbench);
+        # input pre-materialized below like every other query — the
+        # timing measures the engine, not the generator
         out = run_pipeline(
-            spark, hot,
+            spark, spark.read.parquet(hot1m_path),
             example3_config(timeout=600.0, inactivity_timeout=600.0, exact_age_cap=True),
         )
         _noop(out.sessions)
