@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--buckets", default="completed,timeout,inline,open,passthrough",
                     help="comma list; 'sessions' = single-job core pipeline")
     ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--count-sinks", action="store_true",
+                    help="after the timed region, count each routed bucket "
+                         "(for cross-cluster-size per-sink count equality)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -56,6 +59,27 @@ def main() -> None:
         walls.append(time.perf_counter() - t0)
         out.sessions.unpersist(blocking=True)  # reps must not reuse the cache
     wall = min(walls)
+    if args.count_sinks:
+        # UNTIMED: per-sink row counts AND an order-independent content
+        # checksum (sum of xxhash64 over the canonical JSON of each row)
+        # — both deterministic functions of the routed row MULTISET, so
+        # they must be identical across cluster sizes / partitionings
+        # (the north rule's per-sink count + routed-row equality)
+        from pyspark.sql import functions as F
+
+        out = P.run_pipeline(spark, t, cfg, prereduce_s=args.prereduce_s,
+                             cache_sessions=True)
+        sink_rows = {}
+        for name, df in out.as_dict().items():
+            if name not in buckets:
+                continue
+            row_json = F.to_json(F.struct(*[F.col(c) for c in sorted(df.columns)]))
+            agg = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(row_json).cast("decimal(38,0)")).alias("chk"),
+            ).first()
+            sink_rows[name] = {"rows": agg["n"], "checksum": str(agg["chk"])}
+        out.sessions.unpersist(blocking=True)
     n = t.count()
     print(json.dumps({
         "input": args.input, "config": args.config, "turns": n,
