@@ -115,6 +115,28 @@ def test_core_pattern_breadth(spark, case):
     assert getattr(r, cap) == expect
 
 
+def test_group_index_counting_matches_python_re():
+    # the JVM path addresses groups by NUMBER ($N back-references and the
+    # extract fallback), so compile_grok's group-index counter must agree
+    # with the regex engine exactly — including escaped \( literals, (
+    # inside character classes, plain user groups, and lookarounds
+    import re as _re
+
+    g = compile_grok(
+        "tricky",
+        r"\(%{WORD:a}\) [()x]+ (?=u)(u(?:v)?)%{INT:b:int}(?<!y) %{WORD:c}",
+        anchored=False,
+    )
+    compiled = _re.compile(g.regex.replace("(?<", "(?P<").replace("(?P<=", "(?<=").replace("(?P<!", "(?<!"))
+    # python's numbering of the named groups must equal ours
+    py_index = {g.alias[name]: idx for name, idx in compiled.groupindex.items()}
+    assert py_index == g.group_index
+    m = compiled.search("(hello) ()x uv42 world")
+    assert m and m.group(g.group_index["a"]) == "hello"
+    assert m.group(g.group_index["b"]) == "42"
+    assert m.group(g.group_index["c"]) == "world"
+
+
 def test_delimiter_byte_in_captured_value_falls_back(spark):
     # the single-pass replace+split extraction joins groups on \x01; a
     # matched line CONTAINING \x01 inside a capture must still extract
