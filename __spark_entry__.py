@@ -141,6 +141,28 @@ def _start_end_config() -> PipelineConfig:
     )
 
 
+def _no_start_config() -> PipelineConfig:
+    """Example #2 shape (docs/index.asciidoc:96-136): NO start event — the
+    click rule both creates and accumulates (create_or_update, the ||=
+    init); purchase is an update-guarded end_of_task. A purchase with no
+    open map (no click since the last purchase) is a no-op per the update
+    guard (aggregate.rb:203)."""
+    return PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "click", "etype = 'click'",
+                aggs=(
+                    AggSpec("clicks", "count"),
+                    AggSpec("click_total", "sum", "val"),
+                ),
+            ),
+            CorrelationRule("end", "etype = 'purchase'", map_action="update", end_of_task=True),
+        ),
+        timeout=BIG_TIMEOUT,
+    )
+
+
 def _gap_config() -> PipelineConfig:
     return PipelineConfig(
         task_id="%{taskid}",
@@ -167,6 +189,16 @@ EVENT_GROK = [(
 def _pipe_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events_as_transcripts(spark, sf_dir)
     out = run_pipeline(spark, t, _start_end_config(), groks=compile_groks(EVENT_GROK))
+    return out.completed.select(
+        "task_id", "clicks",
+        F.coalesce(F.col("click_total"), F.lit(0)).cast("long").alias("click_total"),
+        "nevents", "creation_ts", "lastevent_ts",
+    )
+
+
+def _pipe_no_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, _no_start_config(), groks=compile_groks(EVENT_GROK))
     return out.completed.select(
         "task_id", "clicks",
         F.coalesce(F.col("click_total"), F.lit(0)).cast("long").alias("click_total"),
@@ -592,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- full-engine pipelines (grok parse -> correlate -> route)
     q["pipe_start_end_correlation"] = _pipe_start_end
+    q["pipe_no_start_example2"] = _pipe_no_start
     q["pipe_gap_timeout_push"] = _pipe_gap_timeout
     q["pipe_push_previous"] = _pipe_push_previous          # O16 + O20
     q["o16_push_previous_interleaved"] = _o16_push_previous_interleaved  # O16 strict
@@ -855,6 +888,33 @@ GROUP BY user_id, seg
 HAVING bool_or(event_type = 'purchase')
 """
 
+# Example #2 oracle. Sessions cannot span a purchase: a purchase either
+# closes the open map or (update guard, aggregate.rb:203) is a no-op that
+# provably had no open map — no click since the previous purchase implies
+# no map, by induction over purchases. So segmenting at EVERY purchase and
+# keeping segments that end in a purchase and contain >= 1 click is exact.
+_PIPE_NO_START_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(floor(value) AS BIGINT) AS val,
+         COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT CAST(user_id AS VARCHAR) AS task_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(COALESCE(sum(CASE WHEN event_type = 'click' THEN val END), 0) AS BIGINT) AS click_total,
+       count(*) AS nevents,
+       min(ts) AS creation_ts,
+       max(ts) AS lastevent_ts
+FROM e
+GROUP BY user_id, seg
+HAVING bool_or(event_type = 'purchase')
+   AND sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0
+"""
+
 _PIPE_GAP_SQL = f"""
 WITH t AS (
   SELECT user_id, ts, event_id, CAST(floor(value) AS BIGINT) AS val,
@@ -1039,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         ) AS t(check_name, raises)
     """
     o["pipe_start_end_correlation"] = _PIPE_START_END_SQL
+    o["pipe_no_start_example2"] = _PIPE_NO_START_SQL
     o["pipe_gap_timeout_push"] = _PIPE_GAP_SQL
     o["pipe_push_previous"] = """
         WITH d AS (
