@@ -206,6 +206,51 @@ def _pipe_no_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming variant (streaming/stream.py
+    applyInPandasWithState full map lifecycle) oracle-checked: the same
+    events stream replayed through a file source with an availableNow
+    trigger. The completed sink emits on end-event ARRIVAL — no watermark
+    tail involved — so it must equal the batch example #1 oracle exactly,
+    INCLUDING session timestamps: the state keeps epoch-seconds doubles
+    whose error is <= 0.19µs for current epochs, so the µs rounding at
+    emission (stream.py) recovers the original microsecond exactly."""
+    import os
+
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    src_dir = f"/tmp/spark_graft_stream_src/{tag}"
+    if not os.path.exists(f"{src_dir}/_SUCCESS"):
+        events_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    # the driver parquet carries TIMESTAMP_NTZ; streaming watermarks
+    # require TIMESTAMP (session tz is UTC, so the instant is unchanged)
+    src = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_correlate(src, _start_end_config(), groks=compile_groks(EVENT_GROK))
+    name = f"st_start_end_{tag}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    got = spark.table(name).where("sink = 'completed'")
+    jnum = lambda k: F.coalesce(  # noqa: E731
+        F.get_json_object("map_json", f"$.{k}").cast("double"), F.lit(0.0)
+    ).cast("long")
+    return got.select(
+        "task_id",
+        jnum("clicks").alias("clicks"),
+        jnum("click_total").alias("click_total"),
+        "nevents",
+        F.col("creation_ts").cast("timestamp_ntz").alias("creation_ts"),
+        F.col("lastevent_ts").cast("timestamp_ntz").alias("lastevent_ts"),
+    )
+
+
 def _pipe_gap_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = events_as_transcripts(spark, sf_dir)
     out = run_pipeline(spark, t, _gap_config(), groks=compile_groks(EVENT_GROK))
@@ -625,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- full-engine pipelines (grok parse -> correlate -> route)
     q["pipe_start_end_correlation"] = _pipe_start_end
     q["pipe_no_start_example2"] = _pipe_no_start
+    q["stream_start_end_correlation"] = _stream_start_end
     q["pipe_gap_timeout_push"] = _pipe_gap_timeout
     q["pipe_push_previous"] = _pipe_push_previous          # O16 + O20
     q["o16_push_previous_interleaved"] = _o16_push_previous_interleaved  # O16 strict
@@ -1100,6 +1146,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["pipe_start_end_correlation"] = _PIPE_START_END_SQL
     o["pipe_no_start_example2"] = _PIPE_NO_START_SQL
+    # streaming completed sink == batch example #1 oracle, including the
+    # session timestamps (see _stream_start_end docstring)
+    o["stream_start_end_correlation"] = _PIPE_START_END_SQL
     o["pipe_gap_timeout_push"] = _PIPE_GAP_SQL
     o["pipe_push_previous"] = """
         WITH d AS (

@@ -151,8 +151,12 @@ def _make_stateful_fn(cfg: PipelineConfig):
                 dict(
                     task_id=task_id,
                     sink=sink,
-                    creation_ts=pd.Timestamp(st["creation_ts"], unit="s"),
-                    lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s"),
+                    # the state keeps epoch-seconds doubles; float64 is
+                    # exact to <0.25µs here but ns-residue appears on
+                    # reconstruction and Arrow's safe µs cast rejects it —
+                    # round("us") recovers the original microsecond exactly
+                    creation_ts=pd.Timestamp(st["creation_ts"], unit="s").round("us"),
+                    lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s").round("us"),
                     nevents=st["nevents"],
                     map_json=st["map_json"],
                 )
