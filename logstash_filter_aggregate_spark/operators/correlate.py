@@ -53,6 +53,16 @@ def apply_guards(sessions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     from logstash_filter_aggregate_spark.operators.sessionize import _running, _w, seg_start_flag
 
+    if all(r.map_action == "create_or_update" for r in cfg.rules):
+        # every matched row both creates and updates (aggregate.rb:202:
+        # create_or_update never hits a guard return): the first row of
+        # each segment creates the map and every row is included — no
+        # guard windows needed. This matters most in exact_age_cap mode,
+        # where the applyInPandas output has lost its partitioning: with
+        # no post-scan window, the only shuffle after the scan carries
+        # per-session aggregation PARTIALS instead of the event stream.
+        return sessions.withColumn("_included", F.lit(True))
+
     w = _w()
     cc = (F.col("_action") != "update").cast("int")
     cc_incl = F.coalesce(_running(F.sum(cc)), F.lit(0))          # can-creates at/before me (task-wide)
