@@ -144,6 +144,11 @@ def _make_stateful_fn(cfg: PipelineConfig):
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         task_id = key[0]
+        if task_id is None:
+            # the null-task group: heartbeat/unmatched rows admitted only
+            # to advance the watermark — no map, no state, no output
+            yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            return
         out_rows: list[dict] = []
 
         def emit(sink: str, st: dict) -> None:
@@ -287,9 +292,19 @@ def streaming_correlate(
         F.expr(sp.col).alias(_agg_value_col(r.rule_id, sp.name))
         for r in cfg.rules for sp in r.aggs if sp.col
     ]
+    # Heartbeat rows (conv_id == HEARTBEAT_CONV, matching no rule) pass
+    # the match filter so they can advance the event-time watermark —
+    # the mechanism replay_routed uses to flush state timeouts on a
+    # finite corpus. They reach the stateful fn as the null-task group,
+    # which emits nothing and keeps no state. (A filter predicate alone
+    # can't protect the watermark: Catalyst splits conjunctions and
+    # pushes the non-ts conjuncts below the EventTimeWatermark node.)
     part = (
-        classified.where(F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
-        .withWatermark("ts", watermark)
+        classified.withWatermark("ts", watermark)
+        .where(
+            (F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
+            | (F.col("conv_id") == HEARTBEAT_CONV)
+        )
         .select(
             "_task_id", "_rule_id", "conv_id", "turn_idx", "ts",
             "_custom_timeout", "_custom_inactivity", *value_cols,
@@ -302,3 +317,115 @@ def streaming_correlate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+STREAM_SINKS = ("completed", "timeout", "inline")
+# reserved conv_id for replay_routed's watermark-advancing sentinel rows
+HEARTBEAT_CONV = "__heartbeat__"
+
+
+def stream_to_routed_sinks(
+    correlated: DataFrame,
+    base_path: str,
+    checkpoint: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+):
+    """U5 for the streaming variant: fan the :func:`streaming_correlate`
+    output out to one directory per sink. ``writeStream`` supports a
+    single sink per query, so the fan-out happens inside ONE
+    ``foreachBatch`` riding ONE checkpoint (the reference's multi-output
+    fan-out, ``docs/index.asciidoc`` routed outputs, over a stream).
+
+    Exactly-once on replay: each micro-batch writes to a Hive-style
+    ``batch_id=N`` subdirectory with ``overwrite`` mode — a batch replayed
+    after a crash overwrites its own directory instead of appending
+    duplicates (the standard idempotent-foreachBatch pattern). Readers
+    just ``spark.read.parquet(f"{base_path}/<sink>")``.
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            for sink in STREAM_SINKS:
+                rows = batch_df.where(F.col("sink") == sink).drop("sink")
+                rows.write.mode("overwrite").format(fmt).save(
+                    f"{base_path}/{sink}/batch_id={batch_id}"
+                )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        correlated.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def replay_routed(
+    spark,
+    input_dir: str,
+    cfg: PipelineConfig,
+    base_path: str,
+    checkpoint: str,
+    groks=None,
+    watermark: str = "10 minutes",
+    final_flush: bool = True,
+) -> None:
+    """Finite-corpus replay through the streaming engine with a FULL
+    final flush — the streaming analog of the batch engine's end-of-input
+    watermark routing.
+
+    Structured Streaming only fires event-time state timeouts as the
+    watermark advances with new data, so the last sessions of a finite
+    replay would sit in state forever. ``final_flush=True`` appends ONE
+    sentinel heartbeat row to ``input_dir`` (documented side effect; the
+    row matches no correlation rule and carries a far-future ``ts``) and
+    runs a second availableNow cycle on the same checkpoint: the
+    heartbeat advances the watermark past every registered expiry —
+    max(timeout, inactivity, literal custom overrides) plus the
+    watermark delay — so every remaining map routes to its sink, exactly
+    like the batch engine's final flush.
+    """
+    import re as _re
+
+    schema = spark.read.parquet(input_dir).schema
+
+    def _cycle() -> None:
+        src = spark.readStream.schema(schema).parquet(input_dir)
+        q = stream_to_routed_sinks(
+            streaming_correlate(src, cfg, groks=groks, watermark=watermark),
+            base_path, checkpoint,
+        )
+        q.awaitTermination()
+
+    _cycle()
+    if not final_flush:
+        return
+    # horizon: past every possible registered expiry
+    horizons = [float(cfg.timeout), float(cfg.effective_inactivity_timeout)]
+    for r in cfg.rules:
+        for expr in (r.custom_timeout, r.custom_inactivity_timeout):
+            if expr and _re.fullmatch(r"\d+(\.\d+)?", expr.strip()):
+                horizons.append(float(expr))
+    delay_s = 0.0
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", watermark.strip())
+    if m:
+        delay_s = float(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    hb_ts = (
+        spark.read.parquet(input_dir).agg(F.max("ts")).first()[0]
+        + __import__("datetime").timedelta(seconds=max(horizons) + delay_s + 1)
+    )
+    hb = spark.createDataFrame(
+        [(HEARTBEAT_CONV, 0, "system", "__heartbeat__", "none", hb_ts)],
+        schema,
+    )
+    hb.coalesce(1).write.mode("append").parquet(input_dir)
+    # two cycles: the heartbeat batch advances the watermark at its END,
+    # and state timers registered against the old watermark fire in the
+    # NEXT batch (a restart on the same checkpoint runs one batch that
+    # applies the checkpointed watermark to state even with no new data)
+    _cycle()
+    _cycle()

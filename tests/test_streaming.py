@@ -206,3 +206,56 @@ def test_streaming_custom_timeouts_match_reference(spark, tmp_path):
     pushed = by[("u", "timeout")]
     assert json.loads(pushed.map_json) == {"clicks": 1}  # expired by the 10s override
     assert ("u", "inline") not in by and ("u", "completed") not in by
+
+
+def test_stream_to_routed_sinks_matches_batch_and_replays_idempotent(spark, stream_dir, tmp_path):
+    from logstash_filter_aggregate_spark.streaming.stream import (
+        stream_to_routed_sinks,
+        streaming_correlate,
+    )
+
+    base = str(tmp_path / "sinks")
+    cp = str(tmp_path / "cp")
+    schema = spark.read.parquet(stream_dir).schema
+
+    def run_once():
+        src = spark.readStream.schema(schema).parquet(stream_dir)
+        q = stream_to_routed_sinks(
+            streaming_correlate(src, example1_config(timeout=3600.0)), base, cp
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(f"{base}/completed")
+    batch = run_pipeline(
+        spark, spark.read.parquet(stream_dir), example1_config(timeout=3600.0)
+    )
+    expect = {(r.task_id, r.nevents) for r in batch.completed.collect()}
+    assert {(r.task_id, r.nevents) for r in got.collect()} == expect
+
+    # restart on the same checkpoint: no new input -> no new batches, the
+    # sink content is unchanged (idempotent replay contract)
+    run_once()
+    assert spark.read.parquet(f"{base}/completed").count() == len(expect)
+
+
+def test_replay_routed_final_flush_matches_batch(spark, tmp_path):
+    # a finite replay must flush the tail: streaming timeout sink ==
+    # batch timeout ∪ open (the reference's flush(final: true) pushes
+    # every remaining map, aggregate.rb:154-175)
+    from logstash_filter_aggregate_spark.streaming.stream import replay_routed
+
+    p = str(tmp_path / "in")
+    generate_transcripts(spark, n_convs=30).write.parquet(p)
+    cfg = example3_config(timeout=600.0)
+    replay_routed(spark, p, cfg, str(tmp_path / "out"), str(tmp_path / "cp"))
+
+    got = spark.read.parquet(str(tmp_path / "out" / "timeout"))
+    batch = run_pipeline(
+        spark, spark.read.parquet(p).where("conv_id != '__heartbeat__'"), cfg
+    )
+    expect = {(r.task_id, r.nevents) for r in batch.timeout.collect()} | {
+        (r.task_id, r.nevents) for r in batch.open.collect()
+    }
+    assert {(r.task_id, r.nevents) for r in got.collect()} == expect
+    assert len(expect) > 0
