@@ -259,3 +259,60 @@ def test_replay_routed_final_flush_matches_batch(spark, tmp_path):
     }
     assert {(r.task_id, r.nevents) for r in got.collect()} == expect
     assert len(expect) > 0
+
+
+def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):
+    # the randomized reference-semantics fuzz, replayed through the
+    # STREAMING engine: per-event state machine vs the independent
+    # simulator. replay_routed's final flush pushes every surviving map,
+    # so the streaming timeout sink must equal sim timeout ∪ open.
+    import datetime as dt
+    import json
+    import random
+
+    from logstash_filter_aggregate_spark.config import PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import replay_routed
+    from tests.conftest import T0
+    from tests.test_fuzz_reference import _LINES, _scenario_rows, _shapes, simulate
+
+    rng = random.Random(20260817)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    for shape, (cfg_kw, sim_rules, kinds) in _shapes().items():
+        cfg = PipelineConfig(task_id="%{taskid}", **cfg_kw)
+        streams = {
+            f"st{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=30) for i in range(10)
+        }
+        data, wm = [], 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                             "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        p = str(tmp_path / f"in_{shape}")
+        spark.createDataFrame(data, schema).repartition(4).write.parquet(p)
+        base = str(tmp_path / f"out_{shape}")
+        replay_routed(spark, p, cfg, base, str(tmp_path / f"cp_{shape}"))
+
+        got: dict[str, list] = {tid: [] for tid in streams}
+        for sink in ("completed", "timeout", "inline"):
+            try:
+                rows_df = spark.read.parquet(f"{base}/{sink}").collect()
+            except Exception:
+                continue
+            for r in rows_df:
+                m = json.loads(r.map_json)
+                got[r.task_id].append((
+                    sink, r.nevents,
+                    (r.creation_ts - T0).total_seconds(),
+                    (r.lastevent_ts - T0).total_seconds(),
+                    int(m.get("val_sum") or 0),
+                ))
+        for tid, rows in streams.items():
+            exp = simulate(rows, sim_rules, cfg.timeout,
+                           cfg.effective_inactivity_timeout, wm)
+            # final flush: sim's open survivors are pushed as timeout
+            exp_cmp = [("timeout" if b == "open" else b, n, c, l, s)
+                       for (b, n, c, l, s, _rr) in exp]
+            assert sorted(got[tid]) == sorted(exp_cmp), (
+                shape, tid, rows, sorted(got[tid]), sorted(exp_cmp)
+            )
