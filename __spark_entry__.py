@@ -236,7 +236,9 @@ def _stream_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming replay did not finish within 600s")
     got = spark.table(name).where("sink = 'completed'")
     jnum = lambda k: F.coalesce(  # noqa: E731
         F.get_json_object("map_json", f"$.{k}").cast("double"), F.lit(0.0)

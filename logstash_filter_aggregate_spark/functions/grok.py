@@ -189,6 +189,7 @@ class CompiledGrok:
     types: dict[str, T.DataType]    # capture -> Spark type
     group_index: dict[str, int]     # capture -> 1-based regex group index
     alias: dict[str, str]           # sanitized group name -> capture name
+    anchored: bool = True           # ^...$ wrapped (single-pass extraction eligible)
 
 
 def compile_grok(
@@ -288,7 +289,7 @@ def compile_grok(
         i += 1
     return CompiledGrok(
         name=name, regex=regex, captures=tuple(captures), types=types,
-        group_index=group_index, alias=alias,
+        group_index=group_index, alias=alias, anchored=anchored,
     )
 
 
@@ -333,7 +334,12 @@ def apply_grok_jvm(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> D
     max_idx = {g.name: (max(g.group_index.values()) if g.group_index else 0) for g in groks}
     arr_cols: list[Column] = []
     for g in groks:
-        if max_idx[g.name] == 0:
+        # the replace+split single pass is only sound for ANCHORED groks:
+        # an unanchored mid-string match would glue the unmatched prefix/
+        # suffix onto the first/last capture without changing the split
+        # count, so the fallback check could not detect it — unanchored
+        # patterns use per-capture regexp_extract (correct for substrings)
+        if max_idx[g.name] == 0 or not g.anchored:
             continue
         rep = DELIM.join(f"${i}" for i in range(1, max_idx[g.name] + 1))
         # shuffle() on a 1-element array is a semantic identity but is
@@ -370,11 +376,14 @@ def apply_grok_jvm(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> D
         for g in reversed(groks):
             if cap not in g.captures:
                 continue
-            arr = F.col(f"_a_{g.name}")
             idx = g.group_index[cap]
-            raw = F.when(
-                F.size(arr) == max_idx[g.name], F.element_at(arr, idx)
-            ).otherwise(F.regexp_extract(text, g.regex, idx))
+            if g.anchored:
+                arr = F.col(f"_a_{g.name}")
+                raw = F.when(
+                    F.size(arr) == max_idx[g.name], F.element_at(arr, idx)
+                ).otherwise(F.regexp_extract(text, g.regex, idx))
+            else:
+                raw = F.regexp_extract(text, g.regex, idx)
             val = _cast(F.nullif(raw, F.lit("")), dtype)
             expr = F.when(F.col(f"_w_{g.name}"), val).otherwise(expr)
         cap_cols.append(expr.alias(cap))

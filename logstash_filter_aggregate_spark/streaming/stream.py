@@ -404,24 +404,47 @@ def replay_routed(
     _cycle()
     if not final_flush:
         return
-    # horizon: past every possible registered expiry
+    # horizon: past every possible registered expiry. Non-literal custom
+    # timeout expressions can register per-map expiries we cannot bound
+    # statically — refuse rather than silently dropping tail sessions.
     horizons = [float(cfg.timeout), float(cfg.effective_inactivity_timeout)]
     for r in cfg.rules:
         for expr in (r.custom_timeout, r.custom_inactivity_timeout):
-            if expr and _re.fullmatch(r"\d+(\.\d+)?", expr.strip()):
+            if expr is None:
+                continue
+            if _re.fullmatch(r"\d+(\.\d+)?", expr.strip()):
                 horizons.append(float(expr))
-    delay_s = 0.0
+            else:
+                raise ValueError(
+                    f"final_flush cannot bound the flush horizon for rule "
+                    f"{r.rule_id!r}: custom timeout {expr!r} is not a numeric "
+                    f"literal — pass final_flush=False and flush manually, or "
+                    f"use literal overrides"
+                )
     m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", watermark.strip())
-    if m:
-        delay_s = float(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
-    hb_ts = (
-        spark.read.parquet(input_dir).agg(F.max("ts")).first()[0]
-        + __import__("datetime").timedelta(seconds=max(horizons) + delay_s + 1)
-    )
-    hb = spark.createDataFrame(
-        [(HEARTBEAT_CONV, 0, "system", "__heartbeat__", "none", hb_ts)],
-        schema,
-    )
+    if not m:
+        raise ValueError(
+            f"final_flush cannot parse watermark delay {watermark!r} "
+            f"(expected '<n> second|minute|hour|day[s]')"
+        )
+    delay_s = float(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[m.group(2)]
+    max_ts = spark.read.parquet(input_dir).agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        return  # empty corpus: no state to flush
+    hb_ts = max_ts + __import__("datetime").timedelta(seconds=max(horizons) + delay_s + 1)
+    # build the sentinel by FIELD NAME so any column order works; non-ts
+    # string columns default to the sentinel marker, everything else NULL
+    hb_vals = {}
+    for f in schema.fields:
+        if f.name == "ts":
+            hb_vals[f.name] = hb_ts
+        elif f.name == "conv_id":
+            hb_vals[f.name] = HEARTBEAT_CONV
+        elif f.dataType.simpleString() == "string":
+            hb_vals[f.name] = "__heartbeat__"
+        else:
+            hb_vals[f.name] = None
+    hb = spark.createDataFrame([tuple(hb_vals[f.name] for f in schema.fields)], schema)
     hb.coalesce(1).write.mode("append").parquet(input_dir)
     # two cycles: the heartbeat batch advances the watermark at its END,
     # and state timers registered against the old watermark fire in the

@@ -137,6 +137,18 @@ def test_group_index_counting_matches_python_re():
     assert m.group(g.group_index["c"]) == "world"
 
 
+def test_unanchored_grok_mid_string_match_extracts_correctly(spark):
+    # an UNANCHORED grok matching mid-string must not take the single-pass
+    # replace+split path: a single mid-string replace would glue the
+    # unmatched prefix/suffix onto the first/last groups without changing
+    # the split count (undetectable by the size check)
+    g = compile_grok("kv", r"%{WORD:k}=%{INT:v:int}", anchored=False)
+    df = make_transcript(spark, [(0, "x k=5 y", 0)])
+    r = apply_grok_jvm(df, "text", [g]).first()
+    assert r.parse_tags == []
+    assert r.k == "k" and r.v == 5
+
+
 def test_delimiter_byte_in_captured_value_falls_back(spark):
     # the single-pass replace+split extraction joins groups on \x01; a
     # matched line CONTAINING \x01 inside a capture must still extract

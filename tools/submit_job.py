@@ -45,10 +45,11 @@ def main() -> None:
     buckets = args.buckets.split(",")
     walls = []
     sink_rows = {}
-    for _ in range(args.reps):
+    out = None
+    for i in range(args.reps):
         t0 = time.perf_counter()
         out = P.run_pipeline(spark, t, cfg, prereduce_s=args.prereduce_s,
-                             cache_sessions=len(buckets) > 1)
+                             cache_sessions=len(buckets) > 1 or args.count_sinks)
         if args.output:
             manifest = write_run(spark, out, t, args.output, cfg, input_desc=args.input)
             sink_rows = {k: v.get("rows") for k, v in manifest.sinks.items() if "rows" in v}
@@ -57,18 +58,18 @@ def main() -> None:
                 if name in buckets:
                     df.write.mode("overwrite").format("noop").save()
         walls.append(time.perf_counter() - t0)
-        out.sessions.unpersist(blocking=True)  # reps must not reuse the cache
+        if not (args.count_sinks and i == args.reps - 1):
+            out.sessions.unpersist(blocking=True)  # reps must not reuse the cache
     wall = min(walls)
     if args.count_sinks:
-        # UNTIMED: per-sink row counts AND an order-independent content
-        # checksum (sum of xxhash64 over the canonical JSON of each row)
-        # — both deterministic functions of the routed row MULTISET, so
-        # they must be identical across cluster sizes / partitionings
-        # (the north rule's per-sink count + routed-row equality)
+        # UNTIMED, reusing the final rep's cached sessions: per-sink row
+        # counts AND an order-independent content checksum (sum of
+        # xxhash64 over the canonical JSON of each row) — both
+        # deterministic functions of the routed row MULTISET, so they
+        # must be identical across cluster sizes / partitionings (the
+        # north rule's per-sink count + routed-row equality)
         from pyspark.sql import functions as F
 
-        out = P.run_pipeline(spark, t, cfg, prereduce_s=args.prereduce_s,
-                             cache_sessions=True)
         sink_rows = {}
         for name, df in out.as_dict().items():
             if name not in buckets:
