@@ -135,7 +135,24 @@ def narrow_for_correlation(classified: DataFrame, cfg: PipelineConfig) -> DataFr
             if name not in vcols:
                 vcols[name] = F.when(F.col(KIND_COL) == r.rule_id, F.expr(s.col)).alias(name)
     seed_cols = [c for c in classified.columns if c.startswith("_seed_")]
-    return classified.select(*NARROW_BASE, *seed_cols, *vcols.values())
+
+    narrow_base: list[Column | str] = list(NARROW_BASE)
+    import re as _re
+
+    m = _re.fullmatch(r"%\{(\w+)\}", cfg.task_id)
+    field = m.group(1) if m else None
+    if field in classified.columns and dict(classified.dtypes).get(field) == "string":
+        # Single string-field task id: downstream, rows with a NULL
+        # _task_id or _rule_id are dropped before any window (sessionize),
+        # and for matched rows the classify CASE equals the raw attribute
+        # — so aliasing the ATTRIBUTE here is semantically identical. It
+        # matters for bucketed tables: Catalyst propagates the scan's
+        # HashPartitioning through attribute aliases but not through CASE
+        # expressions, so a table bucketed by this column runs the entire
+        # correlation stage with ZERO event-stream exchange
+        # (tests/test_plans.py::test_bucketed_table_elides_task_exchange).
+        narrow_base[narrow_base.index(TASK_ID_COL)] = F.col(field).alias(TASK_ID_COL)
+    return classified.select(*narrow_base, *seed_cols, *vcols.values())
 
 
 def _agg_column(

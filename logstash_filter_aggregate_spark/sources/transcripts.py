@@ -215,3 +215,31 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("none").alias("tool"),
         "ts",
     )
+
+
+def write_bucketed_table(
+    df,
+    table: str,
+    bucket_col: str = "conv_id",
+    buckets: int = 32,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a transcript table bucketed (and sorted) by its task-id
+    column. When the correlation config's ``task_id`` is that single
+    column (e.g. ``"%{conv_id}"``), the scan's bucket HashPartitioning
+    propagates through the narrowed stream into every correlation window
+    and the session groupBy — the event-stream exchange is elided
+    entirely. At 100 TB this turns the pipeline's one wide shuffle into
+    zero: re-runs, resumes and multi-config sweeps over the same corpus
+    pay the shuffle once at ingest instead of per job.
+    """
+    w = (
+        df.write.bucketBy(buckets, bucket_col)
+        .sortBy(bucket_col)
+        .mode(mode)
+        .format("parquet")
+    )
+    if path is not None:  # external table at an explicit location
+        w = w.option("path", path)
+    w.saveAsTable(table)

@@ -111,3 +111,49 @@ def test_push_previous_exact_has_no_global_window(spark):
     for ln in plan.splitlines():
         if ln.strip().startswith(("Window ", "+- Window", ":- Window")) or "RunningWindowFunction" in ln:
             assert "_task_id" in ln, ln
+
+
+def test_bucketed_table_elides_task_exchange(spark, tmp_path):
+    # a table bucketed by the task-id column must run the whole
+    # correlation stage with ZERO event-stream exchange: the scan's
+    # HashPartitioning propagates through the narrowed stream because
+    # narrow_for_correlation aliases the raw attribute for single-field
+    # task ids. Results must equal the plain-parquet run exactly.
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.plans.pipeline import run_pipeline
+    from logstash_filter_aggregate_spark.sources.transcripts import (
+        generate_transcripts,
+        write_bucketed_table,
+    )
+
+    t = generate_transcripts(spark, n_convs=40)
+    spark.sql("DROP TABLE IF EXISTS bt_transcripts")
+    write_bucketed_table(
+        t, "bt_transcripts", bucket_col="conv_id", buckets=8,
+        path=str(tmp_path / "bt_transcripts"),
+    )
+    bt = spark.table("bt_transcripts")
+
+    cfg = PipelineConfig(
+        task_id="%{conv_id}",
+        rules=(
+            CorrelationRule(
+                "sql", "logger = 'SQL'",
+                aggs=(AggSpec("total", "sum", "coalesce(duration, 0)"),),
+            ),
+        ),
+        timeout=1e9, inactivity_timeout=600.0,
+        push_map_as_event_on_timeout=True,
+    )
+    out = run_pipeline(spark, bt, cfg)
+    plan = out.sessions._jdf.queryExecution().executedPlan().toString()
+    # only the tiny session-level routing window may exchange; the event
+    # stream itself must ride the bucket partitioning
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 1, plan[:2000]
+
+    plain = run_pipeline(spark, t, cfg)
+    key = lambda r: (r.task_id, r.nevents, int(r.total or 0))  # noqa: E731
+    assert sorted(map(key, out.sessions.collect())) == sorted(
+        map(key, plain.sessions.collect())
+    )
