@@ -406,6 +406,19 @@ def route_sessions(
     drop = ["_end_seg", "_gap_seg", "_age_seg", "_is_last", "_watermark",
             "_session_timeout", "_session_inactivity", "close_kind"]
 
+    def _as_open(df: DataFrame) -> DataFrame:
+        # the OPEN bucket is the persistence analog of aggregate_maps_path
+        # (O21): it must carry the map's effective custom timeout
+        # overrides (the reference Marshal-dumps map_meta too,
+        # aggregate.rb:125-140) — a resumed map must keep its overridden
+        # clocks, not fall back to the pattern defaults
+        keep = [d for d in drop if d not in ("_session_timeout", "_session_inactivity")]
+        return (
+            df.drop(*keep)
+            .withColumnRenamed("_session_timeout", "map_custom_timeout")
+            .withColumnRenamed("_session_inactivity", "map_custom_inactivity")
+        )
+
     completed = sessions.where(F.col("close_reason") == "completed").drop(*drop)
 
     if cfg.push_previous_map_as_event:
@@ -425,7 +438,7 @@ def route_sessions(
         timeout = _timeout_event(pushed, cfg, final_col="_g_last").drop(*drop, "_g_last")
         inline_rows = sessions.where(F.col("close_reason") == "inline")
         inline = _timeout_event(inline_rows, cfg, final_col=None).drop(*drop)
-        open_maps = sessions.where(F.lit(False)).drop(*drop)
+        open_maps = _as_open(sessions.where(F.lit(False)))
         return RoutedSessions(
             completed=completed, timeout=timeout, inline=inline,
             open=open_maps, sessions=sessions.drop(*drop),
@@ -442,7 +455,7 @@ def route_sessions(
         timeout = timeout_rows.limit(0).drop(*drop)
         inline = inline_rows.limit(0).drop(*drop)
 
-    open_maps = sessions.where(F.col("close_reason") == "open").drop(*drop)
+    open_maps = _as_open(sessions.where(F.col("close_reason") == "open"))
     return RoutedSessions(
         completed=completed,
         timeout=timeout,

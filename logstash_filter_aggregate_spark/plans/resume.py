@@ -46,8 +46,18 @@ def seed_rows_from_open(open_maps: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.lit(SEED_RULE).alias("_rule_id"),
         F.lit(0).alias("_end_flag"),
         F.lit("create_or_update").alias("_action"),
-        F.lit(None).cast("double").alias("_custom_timeout"),
-        F.lit(None).cast("double").alias("_custom_inactivity"),
+        # the map's persisted effective overrides (O17 × O21: the
+        # reference's map_meta survives aggregate_maps_path round-trips);
+        # the seed has the session's minimum _ord, so the last-write-wins
+        # override aggregation re-applies them before any new row's
+        (
+            F.col("map_custom_timeout") if "map_custom_timeout" in open_maps.columns
+            else F.lit(None).cast("double")
+        ).alias("_custom_timeout"),
+        (
+            F.col("map_custom_inactivity") if "map_custom_inactivity" in open_maps.columns
+            else F.lit(None).cast("double")
+        ).alias("_custom_inactivity"),
         F.col("creation_ts").alias("_seed_creation_ts"),
         F.col("lastevent_ts").alias("_seed_lastevent_ts"),
         F.col("nevents").alias("_seed_nevents"),

@@ -242,3 +242,43 @@ def test_fuzz_engine_matches_reference_simulator(spark):
             assert sorted(got[tid]) == sorted(exp_cmp), (
                 shape, tid, rows, sorted(got[tid]), sorted(exp_cmp)
             )
+
+
+def test_fuzz_resume_split_equals_full(spark):
+    # O21 fuzz: split every randomized stream set at a RANDOM boundary;
+    # chunk1's open maps seed chunk2; the union of emissions must equal
+    # the unsplit run exactly (resume.py's documented invariant), across
+    # every config shape incl. guards and custom timeout overrides
+    def fp(df):
+        cols = sorted(df.columns)
+        return sorted(map(str, df.select(*cols).collect()))
+
+    rng = random.Random(20260818)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    for shape, (cfg_kw, sim_rules, kinds) in _shapes().items():
+        cfg = PipelineConfig(task_id="%{taskid}", exact_age_cap=True, **cfg_kw)
+        streams = {
+            f"rs{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=30) for i in range(8)
+        }
+        data, wm = [], 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                             "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        df = spark.createDataFrame(data, schema).repartition(4)
+        split = T0 + dt.timedelta(seconds=rng.uniform(20.0, max(wm - 20.0, 21.0)))
+        from pyspark.sql import functions as F
+
+        c1 = df.where(F.col("ts") < F.lit(split))
+        c2 = df.where(F.col("ts") >= F.lit(split))
+
+        ref = run_pipeline(spark, df, cfg)
+        a = run_pipeline(spark, c1, cfg)
+        b = run_pipeline(spark, c2, cfg, open_maps=a.open.localCheckpoint())
+
+        for bucket in ("completed", "timeout", "inline"):
+            assert sorted(fp(getattr(a, bucket)) + fp(getattr(b, bucket))) == fp(
+                getattr(ref, bucket)
+            ), (shape, bucket, str(split))
+        assert fp(b.open) == fp(ref.open), (shape, str(split))
