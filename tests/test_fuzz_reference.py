@@ -282,3 +282,61 @@ def test_fuzz_resume_split_equals_full(spark):
                 getattr(ref, bucket)
             ), (shape, bucket, str(split))
         assert fp(b.open) == fp(ref.open), (shape, str(split))
+
+
+def test_fuzz_push_previous_exact_serial_pops(spark):
+    # O16/O20 fuzz: random GLOBAL interleavings of task ids vs the
+    # reference's serial single-live-map discipline (aggregate.rb:205-208,
+    # 314-320): every task-id change pops the live map; shutdown flushes
+    # the survivor with the final tag (aggregate.rb:348-351)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rng = random.Random(20260819)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "sql", "logger = 'SQL'",
+                aggs=(AggSpec("val_sum", "sum", "coalesce(duration, 0)"),),
+            ),
+        ),
+        timeout=1e9,
+        push_previous_map_as_event=True,
+        push_previous_exact=True,
+    )
+    for trial in range(4):
+        tasks = [f"pp{trial}t{k}" for k in range(rng.randint(2, 6))]
+        t, rows = 0.0, []
+        for _ in range(rng.randint(20, 120)):
+            t += rng.choice([1.0, 2.0, 7.0])
+            rows.append((rng.choice(tasks), t, rng.randint(1, 9)))
+
+        # serial reference simulator: one live map, popped on id change
+        pushed, live = [], None
+        for task, ts, val in rows:
+            if live is not None and live["task"] != task:
+                pushed.append((live["task"], live["n"], live["sum"],
+                               live["creation"], live["last"], False))
+                live = None
+            if live is None:
+                live = dict(task=task, n=0, sum=0, creation=ts, last=ts)
+            live.update(n=live["n"] + 1, sum=live["sum"] + val, last=ts)
+        pushed.append((live["task"], live["n"], live["sum"],
+                       live["creation"], live["last"], True))
+
+        data = [
+            (task, j, "user", _LINES["sql"].format(tid=task, val=val), "none",
+             T0 + dt.timedelta(seconds=ts))
+            for j, (task, ts, val) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(data, schema).repartition(5)
+        out = run_pipeline(spark, df, cfg)
+        got = sorted(
+            (r.task_id, r.nevents, int(r.val_sum or 0),
+             (r.creation_ts - T0).total_seconds(),
+             (r.lastevent_ts - T0).total_seconds(),
+             "_aggregatefinalflush" in (r.tags or []))
+            for r in out.timeout.collect()
+        )
+        assert got == sorted(pushed), (trial, rows[:10], got[:5], sorted(pushed)[:5])
