@@ -340,3 +340,69 @@ def test_fuzz_push_previous_exact_serial_pops(spark):
             for r in out.timeout.collect()
         )
         assert got == sorted(pushed), (trial, rows[:10], got[:5], sorted(pushed)[:5])
+
+
+def test_fuzz_window_mode_matches_simulator(spark):
+    # the DEFAULT (window) sessionization path, fuzzed on the shapes where
+    # it is exact by design: gap splits + guards + end_of_task with the
+    # absolute age cap disabled (window age splits are exact to 2
+    # generations per gap segment — exact_age_cap covers the rest, fuzzed
+    # above). This is the headline-bench code path.
+    sql_sum = (AggSpec("val_sum", "sum", "coalesce(duration, 0)"),)
+    shapes = {
+        "w_gaps": (
+            dict(rules=(CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),),
+                 timeout=1e9, inactivity_timeout=100.0,
+                 push_map_as_event_on_timeout=True),
+            {"sql": _Rule(agg_val=True)},
+            ["sql"],
+        ),
+        "w_guards": (
+            dict(rules=(
+                CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+                CorrelationRule("sql", "logger = 'SQL'", map_action="update", aggs=sql_sum),
+                CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                end_of_task=True),
+            ), timeout=1e9, inactivity_timeout=250.0,
+               push_map_as_event_on_timeout=True),
+            {"start": _Rule(action="create"),
+             "sql": _Rule(action="update", agg_val=True),
+             "end": _Rule(action="update", end=True)},
+            ["start", "sql", "end"],
+        ),
+        "w_end_gaps": (
+            dict(rules=(
+                CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),
+                CorrelationRule("end", "logger = 'TASK_END'", end_of_task=True),
+            ), timeout=1e9, inactivity_timeout=80.0,
+               push_map_as_event_on_timeout=True),
+            {"sql": _Rule(agg_val=True), "end": _Rule(end=True)},
+            ["sql", "end"],
+        ),
+    }
+    rng = random.Random(20260820)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    for shape, (cfg_kw, sim_rules, kinds) in shapes.items():
+        cfg = PipelineConfig(task_id="%{taskid}", **cfg_kw)  # window mode
+        streams = {f"{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=40) for i in range(25)}
+        data, wm = [], 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                             "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        df = spark.createDataFrame(data, schema).repartition(5)
+        out = run_pipeline(spark, df, cfg)
+        got: dict[str, list] = {tid: [] for tid in streams}
+        for bucket in ("completed", "timeout", "inline", "open"):
+            for r in getattr(out, bucket).collect():
+                got[r.task_id].append((
+                    bucket, r.nevents,
+                    (r.creation_ts - T0).total_seconds(),
+                    (r.lastevent_ts - T0).total_seconds(),
+                    int(r.val_sum or 0), r.nevents,
+                ))
+        for tid, rows in streams.items():
+            exp = simulate(rows, sim_rules, cfg.timeout,
+                           cfg.effective_inactivity_timeout, wm)
+            assert sorted(got[tid]) == sorted(list(exp)), (shape, tid, rows)
