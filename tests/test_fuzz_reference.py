@@ -406,3 +406,38 @@ def test_fuzz_window_mode_matches_simulator(spark):
             exp = simulate(rows, sim_rules, cfg.timeout,
                            cfg.effective_inactivity_timeout, wm)
             assert sorted(got[tid]) == sorted(list(exp)), (shape, tid, rows)
+
+
+def test_fuzz_multi_pattern_isolation(spark):
+    # O24 fuzz: two patterns over ONE randomized stream via run_multi
+    # (shared parse) must each equal their standalone single-pattern run —
+    # same task-id values under different patterns never share state
+    def fp(df):
+        cols = sorted(df.columns)
+        return sorted(map(str, df.select(*cols).collect()))
+
+    rng = random.Random(20260821)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    shapes = _shapes()
+    cfg_a = PipelineConfig(task_id="%{taskid}", pattern_id="pa",
+                           exact_age_cap=True, **shapes["gaps"][0])
+    cfg_b = PipelineConfig(task_id="%{taskid}", pattern_id="pb",
+                           exact_age_cap=True, **shapes["guards_end"][0])
+    kinds = sorted(set(shapes["gaps"][2]) | set(shapes["guards_end"][2]))
+    streams = {f"mp{i:02d}": _scenario_rows(rng, kinds, n_max=35) for i in range(12)}
+    data = []
+    for tid, rows in streams.items():
+        for j, (kind, ts, val) in enumerate(rows):
+            data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                         "none", T0 + dt.timedelta(seconds=ts)))
+    df = spark.createDataFrame(data, schema).repartition(5)
+
+    from logstash_filter_aggregate_spark.plans.multi import run_multi
+
+    multi = run_multi(spark, df, [cfg_a, cfg_b])
+    for cfg in (cfg_a, cfg_b):
+        solo = run_pipeline(spark, df, cfg)
+        for bucket in ("completed", "timeout", "inline", "open"):
+            assert fp(getattr(multi[cfg.pattern_id], bucket)) == fp(
+                getattr(solo, bucket)
+            ), (cfg.pattern_id, bucket)
