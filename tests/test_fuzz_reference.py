@@ -255,7 +255,31 @@ def test_fuzz_resume_split_equals_full(spark):
 
     rng = random.Random(20260818)
     schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
-    for shape, (cfg_kw, sim_rules, kinds) in _shapes().items():
+    shapes = dict(_shapes())
+    # rich aggregation dictionary: the order-sensitive and partial-carrying
+    # fns all have seed-merge paths that must survive a split anywhere
+    shapes["rich_aggs"] = (
+        dict(
+            rules=(
+                CorrelationRule(
+                    "sql", "logger = 'SQL'",
+                    aggs=(
+                        AggSpec("val_sum", "sum", "coalesce(duration, 0)"),
+                        AggSpec("first_v", "first", "duration"),
+                        AggSpec("last_v", "last", "duration"),
+                        AggSpec("vals", "collect_list", "duration"),
+                        AggSpec("avg_v", "avg", "duration"),
+                        AggSpec("n_sql", "count"),
+                    ),
+                ),
+            ),
+            timeout=300.0, inactivity_timeout=120.0,
+            push_map_as_event_on_timeout=True,
+        ),
+        {"sql": _Rule(agg_val=True)},
+        ["sql"],
+    )
+    for shape, (cfg_kw, sim_rules, kinds) in shapes.items():
         cfg = PipelineConfig(task_id="%{taskid}", exact_age_cap=True, **cfg_kw)
         streams = {
             f"rs{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=30) for i in range(8)
