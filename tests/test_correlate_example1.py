@@ -158,3 +158,33 @@ def test_broadcast_dim_enrichment(spark):
     pt = {r.turn_idx: r for r in out.passthrough.collect()}
     assert pt[0].role_group == "human" and pt[0].is_human is True
     assert pt[0].tool_family == "none"
+
+
+def test_composite_task_id_isolates_maps(spark):
+    # the reference supports composite task ids ("%{a}.%{b}"); same taskid
+    # under different loglevels must correlate into SEPARATE maps, and a
+    # row missing any referenced field resolves no task at all
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+
+    cfg = PipelineConfig(
+        task_id="%{loglevel}.%{taskid}",
+        rules=(
+            CorrelationRule(
+                "sql", "logger = 'SQL'",
+                aggs=(AggSpec("total", "sum", "coalesce(duration, 0)"),),
+            ),
+        ),
+        timeout=1e9,
+        push_map_as_event_on_timeout=True,
+    )
+    out = _run(
+        spark,
+        [
+            (0, "INFO - t1 - SQL - q - 10", 0),
+            (1, "WARN - t1 - SQL - q - 7", 1),   # same taskid, different level
+            (2, "INFO - t1 - SQL - q - 5", 2),
+        ],
+        cfg,
+    )
+    got = {r.task_id: (r.nevents, int(r.total)) for r in out.open.collect()}
+    assert got == {"INFO.t1": (2, 15), "WARN.t1": (1, 7)}
