@@ -170,6 +170,14 @@ def main() -> None:
     # job sees), not single-job JVM warmup
     t_small = spark.read.parquet(tpath).limit(max(n_turns // 100, 1000))
     _noop(run_pipeline(spark, t_small, example1_config(timeout=3600.0)).sessions)
+    # ...and the Arrow/pandas worker pool (the exact-mode query otherwise
+    # pays python-worker spin-up on its first use)
+    _noop(
+        run_pipeline(
+            spark, t_small.limit(2000),
+            example3_config(timeout=600.0, inactivity_timeout=600.0, exact_age_cap=True),
+        ).sessions
+    )
 
     timings: dict[str, float] = {}
     for name, fn in queries.items():
