@@ -465,3 +465,59 @@ def test_fuzz_multi_pattern_isolation(spark):
             assert fp(getattr(multi[cfg.pattern_id], bucket)) == fp(
                 getattr(solo, bucket)
             ), (cfg.pattern_id, bucket)
+
+
+def test_fuzz_resume_split_window_mode(spark):
+    # resume fuzz for the DEFAULT (window) sessionization path, on the
+    # shapes where window mode is exact (gap/guard/end, no age cap): a
+    # random split + seeded resume must equal the full run
+    def fp(df):
+        cols = sorted(df.columns)
+        return sorted(map(str, df.select(*cols).collect()))
+
+    sql_sum = (AggSpec("val_sum", "sum", "coalesce(duration, 0)"),)
+    shapes = {
+        "wr_gaps": (
+            dict(rules=(CorrelationRule("sql", "logger = 'SQL'", aggs=sql_sum),),
+                 timeout=1e9, inactivity_timeout=100.0,
+                 push_map_as_event_on_timeout=True),
+            ["sql"],
+        ),
+        "wr_guards": (
+            dict(rules=(
+                CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+                CorrelationRule("sql", "logger = 'SQL'", map_action="update", aggs=sql_sum),
+                CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                end_of_task=True),
+            ), timeout=1e9, inactivity_timeout=250.0,
+               push_map_as_event_on_timeout=True),
+            ["start", "sql", "end"],
+        ),
+    }
+    rng = random.Random(20260822)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    from pyspark.sql import functions as F
+
+    for shape, (cfg_kw, kinds) in shapes.items():
+        cfg = PipelineConfig(task_id="%{taskid}", **cfg_kw)  # window mode
+        streams = {f"{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=30) for i in range(8)}
+        data, wm = [], 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                             "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        df = spark.createDataFrame(data, schema).repartition(4)
+        split = T0 + dt.timedelta(seconds=rng.uniform(20.0, max(wm - 20.0, 21.0)))
+        c1 = df.where(F.col("ts") < F.lit(split))
+        c2 = df.where(F.col("ts") >= F.lit(split))
+
+        ref = run_pipeline(spark, df, cfg)
+        a = run_pipeline(spark, c1, cfg)
+        b = run_pipeline(spark, c2, cfg, open_maps=a.open.localCheckpoint())
+
+        for bucket in ("completed", "timeout", "inline"):
+            assert sorted(fp(getattr(a, bucket)) + fp(getattr(b, bucket))) == fp(
+                getattr(ref, bucket)
+            ), (shape, bucket, str(split))
+        assert fp(b.open) == fp(ref.open), (shape, str(split))
