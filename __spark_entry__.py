@@ -89,7 +89,7 @@ def _events_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _events(spark, sf_dir).select(
         "user_id", "event_type", "value", "event_id", "ts",
         F.lit("c").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_id").cast("long").alias("turn_idx"),
     )
 
 

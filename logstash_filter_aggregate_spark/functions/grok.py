@@ -87,7 +87,6 @@ BASE_PATTERNS: dict[str, str] = {
     "HOSTNAME": _HOSTNAME,
     "IPORHOST": _IPORHOST,
     "HOSTPORT": rf"{_IPORHOST}:\d+",
-    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?",
     "MONTH": _MONTH,
     "MONTHDAY": _MONTHDAY,
     "MONTHNUM": r"(?:0?[1-9]|1[0-2])",

@@ -185,7 +185,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     min_jaccard: float = 0.0,
-    max_df: int | None = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs found via shared shingles
     (explode + self-join on the shingle hash, then |A∩B| / |A∪B|).
@@ -199,8 +199,10 @@ def ngram_jaccard_pairs(
     at scale. Shingles with df > max_df are excluded from the
     intersection count (the standard df-cut for Jaccard verification) —
     union sizes stay exact, so the reported jaccard is a lower bound for
-    pairs that shared only ultra-common shingles. ``None`` disables the
-    cap (small inputs / post-LSH candidate verification only)."""
+    pairs that shared only ultra-common shingles. ``None`` (the default)
+    keeps results exact — the cap is OPT-IN because it changes reported
+    values; at corpus scale pass e.g. ``max_df=1000`` (and expect pairs
+    held together only by boilerplate shingles to drop out)."""
     sh = (
         df.select(F.col(id_col).alias("id"), F.array_distinct(shingle_hashes(text_col, k)).alias("sh"))
         .withColumn("n_sh", F.size("sh"))

@@ -27,6 +27,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+# Persisted subtrees from prior with_global_index calls. Each call
+# persists its repartitioned input so the stats pass and the downstream
+# read share one computation — but the downstream consumption point is
+# invisible from here, so the handle can't be unpersisted eagerly.
+# Instead every call releases the PREVIOUS call's cache (repeated
+# pipelines no longer accumulate cached copies for the app lifetime) and
+# `release_caches()` lets a caller drop the last one explicitly.
+# Unpersisting a still-referenced plan is safe (Spark recomputes).
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist every subtree cached by prior :func:`with_global_index`
+    calls (call after the consuming action completes)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def with_global_index(
     df: DataFrame,
@@ -38,7 +55,9 @@ def with_global_index(
     ``order_cols`` (which must be a total order — ties would make the
     index nondeterministic). Triggers one small driver action (one stats
     row per partition); the input subtree is persisted so the stats pass
-    and the downstream read share one computation."""
+    and the downstream read share one computation. The cache is released
+    by the NEXT call (or :func:`release_caches`)."""
+    release_caches()
     spark = df.sparkSession
     k = num_partitions or spark.sparkContext.defaultParallelism
     part = (
@@ -48,6 +67,7 @@ def with_global_index(
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _LIVE_CACHES.append(part)
     stats = sorted(
         part.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n"), F.min("_mono").alias("m0")

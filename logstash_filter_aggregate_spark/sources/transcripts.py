@@ -203,10 +203,13 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # turn_idx only serves as the stable tiebreak inside the engine's
     # (ts, conv_id, turn_idx) total order — event_id induces the SAME
     # order as a per-user row_number over (ts, event_id) would, without
-    # paying a window shuffle in every query that uses this adapter
+    # paying a window shuffle in every query that uses this adapter.
+    # Kept LONG: event_id is int64, and narrowing it to int would
+    # overflow past 2^31 events (ANSI runtime failure, or silent
+    # negative wrap corrupting the total-order tiebreak with ANSI off).
     return ev.select(
         F.format_string("conv-%d", "user_id").alias("conv_id"),
-        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_id").cast("long").alias("turn_idx"),
         F.lit("user").alias("role"),
         F.format_string(
             "INFO - %d - EVENT - %s - %d", "user_id", "event_type",

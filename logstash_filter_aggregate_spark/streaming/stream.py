@@ -380,21 +380,35 @@ def replay_routed(
 
     Structured Streaming only fires event-time state timeouts as the
     watermark advances with new data, so the last sessions of a finite
-    replay would sit in state forever. ``final_flush=True`` appends ONE
-    sentinel heartbeat row to ``input_dir`` (documented side effect; the
-    row matches no correlation rule and carries a far-future ``ts``) and
-    runs a second availableNow cycle on the same checkpoint: the
-    heartbeat advances the watermark past every registered expiry —
-    max(timeout, inactivity, literal custom overrides) plus the
-    watermark delay — so every remaining map routes to its sink, exactly
-    like the batch engine's final flush.
+    replay would sit in state forever. ``final_flush=True`` writes ONE
+    sentinel heartbeat row into a SIBLING staging directory
+    (``{base_path}/_heartbeat_src`` — never into ``input_dir``, which
+    stays byte-identical to what the caller handed in; batch re-runs
+    over the same directory see no sentinel and compute their watermark
+    from real data only). The stream reads the union of both
+    directories; the sentinel matches no correlation rule and carries a
+    far-future ``ts`` that advances the watermark past every registered
+    expiry — max(timeout, inactivity, literal custom overrides) plus
+    the watermark delay — so every remaining map routes to its sink,
+    exactly like the batch engine's final flush. The staging dir is
+    rewritten with ``overwrite`` each call, so repeated replays never
+    accumulate sentinels (the horizon is always computed from the real
+    corpus, not from a previous sentinel).
     """
     import re as _re
 
     schema = spark.read.parquet(input_dir).schema
+    hb_dir = f"{base_path}/_heartbeat_src"
+    # the union source must exist from the FIRST cycle: a checkpoint pins
+    # the source count, so the heartbeat leg is an (initially empty)
+    # parquet dir rather than a source added later
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(hb_dir)
 
     def _cycle() -> None:
-        src = spark.readStream.schema(schema).parquet(input_dir)
+        src = (
+            spark.readStream.schema(schema).parquet(input_dir)
+            .unionByName(spark.readStream.schema(schema).parquet(hb_dir))
+        )
         q = stream_to_routed_sinks(
             streaming_correlate(src, cfg, groks=groks, watermark=watermark),
             base_path, checkpoint,
@@ -445,7 +459,7 @@ def replay_routed(
         else:
             hb_vals[f.name] = None
     hb = spark.createDataFrame([tuple(hb_vals[f.name] for f in schema.fields)], schema)
-    hb.coalesce(1).write.mode("append").parquet(input_dir)
+    hb.coalesce(1).write.mode("overwrite").parquet(hb_dir)
     # two cycles: the heartbeat batch advances the watermark at its END,
     # and state timers registered against the old watermark fire in the
     # NEXT batch (a restart on the same checkpoint runs one batch that

@@ -251,14 +251,16 @@ def test_replay_routed_final_flush_matches_batch(spark, tmp_path):
     replay_routed(spark, p, cfg, str(tmp_path / "out"), str(tmp_path / "cp"))
 
     got = spark.read.parquet(str(tmp_path / "out" / "timeout"))
-    batch = run_pipeline(
-        spark, spark.read.parquet(p).where("conv_id != '__heartbeat__'"), cfg
-    )
+    # the heartbeat sentinel lives in a sibling staging dir, NOT in the
+    # caller's input_dir — the batch run reads the input unfiltered
+    batch = run_pipeline(spark, spark.read.parquet(p), cfg)
     expect = {(r.task_id, r.nevents) for r in batch.timeout.collect()} | {
         (r.task_id, r.nevents) for r in batch.open.collect()
     }
     assert {(r.task_id, r.nevents) for r in got.collect()} == expect
     assert len(expect) > 0
+    # the source dataset is untouched: no sentinel rows leaked into it
+    assert spark.read.parquet(p).where("conv_id = '__heartbeat__'").count() == 0
 
 
 def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):
