@@ -393,6 +393,76 @@ def _o18_inline_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.inline.select("uid", F.col("err_val").cast("long").alias("err_val"))
 
 
+def _guarded_route_config() -> PipelineConfig:
+    """Guard-gated code side-effects (aggregate.rb:203,216 return before
+    the code at :226): only signup creates a map; the error rule's emit +
+    cancel are ``update``-guarded, so an error with no live map must
+    neither emit nor be consumed; the update-guarded purchase closes only
+    a live map."""
+    return PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "etype = 'signup'", map_action="create"),
+            CorrelationRule(
+                "err", "etype = 'error'", map_action="update", cancel=True,
+                emit={"uid": "taskid", "err_val": "val"},
+            ),
+            CorrelationRule("end", "etype = 'purchase'", map_action="update", end_of_task=True),
+            CorrelationRule("any", "etype is not null", map_action="update"),
+        ),
+        timeout=BIG_TIMEOUT,
+    )
+
+
+def _pipe_route_counts_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipe_route_counts variant the r2 verdict asked for: the emit
+    (and cancel) rule is ``map_action='update'`` — sinks count only the
+    side-effects whose codeblock actually ran."""
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, _guarded_route_config(), groks=compile_groks(EVENT_GROK))
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
+        for name, df in out.as_dict().items()
+        if name != "sessions"
+    ]
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
+def _o18b_guarded_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 under an update-guarded emit rule: emission content restricted
+    to rows with a live map (a signup earlier in the segment)."""
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, _guarded_route_config(), groks=compile_groks(EVENT_GROK))
+    return out.inline.select("uid", F.col("err_val").cast("long").alias("err_val"))
+
+
+def _o19b_guarded_exception_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 under an update-guarded required-agg rule, THROUGH run_pipeline
+    (exercises the guard-inclusion join on the passthrough): a required
+    NULL only tags rows whose codeblock ran."""
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "etype = 'signup'", map_action="create"),
+            CorrelationRule(
+                "val", "etype is not null", map_action="update",
+                aggs=(AggSpec("v", "sum", "CASE WHEN val >= 0 THEN val END", required=True),),
+            ),
+        ),
+        timeout=BIG_TIMEOUT,
+    )
+    t = events_as_transcripts(spark, sf_dir)
+    out = run_pipeline(spark, t, cfg, groks=compile_groks(EVENT_GROK))
+    return out.passthrough.where("etype is not null").groupBy("etype").agg(
+        F.sum(F.array_contains("tags", "_aggregateexception").cast("int"))
+        .cast("long").alias("n_tagged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
 def _pipe_resume_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 through the engine: split the stream at its midpoint, seed run B
     with run A's open maps (the aggregate_maps_path reload analog,
@@ -522,6 +592,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum((F.col("_age_seg") > 0).cast("int")).cast("long").alias("n_past_age_cap")
         )
     q["o09_age_cap_flags"] = o09
+
+    # --- O9 default path: the engine-default 2-pass iterated suffix split
+    # (gap + age interplay) — certified against a 2-pass SQL oracle
+    def o09b(spark, sf):
+        cfg = _any_rule_cfg(timeout=AGE_S, inactivity_timeout=GAP_S)
+        sess = _engine_sessions(spark, sf, cfg)
+        return sess.select(
+            F.col("task_id").alias("user_id"), "creation_ts", "lastevent_ts", "nevents"
+        )
+    q["o09b_age_cap_two_pass"] = o09b
+
+    # --- O9 exact mode: the applyInPandas session-hop scan — certified
+    # against a recursive-CTE oracle replaying the session state machine
+    def o09c(spark, sf):
+        cfg = _any_rule_cfg(timeout=AGE_S, inactivity_timeout=GAP_S, exact_age_cap=True)
+        sess = _engine_sessions(spark, sf, cfg)
+        return sess.select(
+            F.col("task_id").alias("user_id"), "creation_ts", "lastevent_ts", "nevents"
+        )
+    q["o09c_age_cap_exact"] = o09c
 
     # --- O10/O12: inactivity-gap sessionization via sessionize's _gap_seg
     def o10(spark, sf):
@@ -679,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_custom_timeout"] = _pipe_custom_timeout        # O17
     q["pipe_route_counts"] = _pipe_route_counts            # U5 + U3 + O22
     q["o18_inline_emissions"] = _o18_inline_emissions      # O18
+    q["pipe_route_counts_guarded"] = _pipe_route_counts_guarded  # O3 × U3/O18
+    q["o18b_guarded_emissions"] = _o18b_guarded_emissions  # O18 guard-gated
+    q["o19b_guarded_exception_tags"] = _o19b_guarded_exception_tags  # O19 guard-gated
     q["pipe_resume_seeds"] = _pipe_resume_seeds            # O21
 
     # --- U1: grok/regex parse (JVM backend; pandas backend is rows-only)
@@ -1073,6 +1166,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN tsec - creation > {AGE_S} THEN 1 ELSE 0 END) AS BIGINT) AS n_past_age_cap
         FROM e GROUP BY user_id
     """
+    # 2-pass iterated suffix split (the sessionize default): pass p
+    # re-anchors creation at the first row of each (gap, age-so-far)
+    # group; crossings are a contiguous suffix (ts non-decreasing), so
+    # plain per-group min(ts) windows reproduce the running
+    # latest-group-start trick exactly.
+    o["o09b_age_cap_two_pass"] = f"""
+        WITH b AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {GAP_S}
+                      THEN 1 ELSE 0 END AS gflag
+          FROM events WHERE event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        g AS (
+          SELECT *, sum(gflag) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gseg
+          FROM b
+        ),
+        p1 AS (
+          SELECT *, CASE WHEN extract(epoch FROM ts) - extract(epoch FROM
+                   min(ts) OVER (PARTITION BY user_id, gseg)) > {AGE_S} THEN 1 ELSE 0 END AS a1
+          FROM g
+        ),
+        p2 AS (
+          SELECT *, CASE WHEN extract(epoch FROM ts) - extract(epoch FROM
+                   min(ts) OVER (PARTITION BY user_id, gseg, a1)) > {AGE_S} THEN 1 ELSE 0 END AS a2
+          FROM p1
+        )
+        SELECT CAST(user_id AS VARCHAR) AS user_id, min(ts) AS creation_ts,
+               max(ts) AS lastevent_ts, count(*) AS nevents
+        FROM p2 GROUP BY user_id, gseg, a1, a2
+    """
+    # exact session-hop scan: a recursive CTE replays the per-row state
+    # machine (session restarts when the age cap crosses; gap blocks are
+    # precomputed), one recursion step per row within a gap block
+    o["o09c_age_cap_exact"] = f"""
+        WITH RECURSIVE base AS (
+          SELECT user_id, ts, event_id,
+                 row_number() OVER w AS rn,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER w) > {GAP_S}
+                      THEN 1 ELSE 0 END AS gflag
+          FROM events WHERE event_type IS NOT NULL
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        blocks AS (
+          SELECT *, sum(gflag) OVER (PARTITION BY user_id ORDER BY rn) AS blk FROM base
+        ),
+        firsts AS (
+          SELECT user_id, blk, min(rn) AS frn FROM blocks GROUP BY user_id, blk
+        ),
+        rec AS (
+          SELECT b.user_id, b.blk, b.rn, b.ts, b.ts AS sts
+          FROM blocks b JOIN firsts f
+            ON b.user_id = f.user_id AND b.blk = f.blk AND b.rn = f.frn
+          UNION ALL
+          SELECT b.user_id, b.blk, b.rn, b.ts,
+                 CASE WHEN extract(epoch FROM b.ts) - extract(epoch FROM r.sts) > {AGE_S}
+                      THEN b.ts ELSE r.sts END AS sts
+          FROM rec r JOIN blocks b
+            ON b.user_id = r.user_id AND b.blk = r.blk AND b.rn = r.rn + 1
+        )
+        SELECT CAST(user_id AS VARCHAR) AS user_id, min(ts) AS creation_ts,
+               max(ts) AS lastevent_ts, count(*) AS nevents
+        FROM rec GROUP BY user_id, blk, sts
+    """
     o["o10_gap_sessionize"] = _GAP_SESSIONS_CTE + """
         SELECT CAST(user_id AS VARCHAR) AS user_id, session_idx, nevents,
                creation_ts, lastevent_ts
@@ -1234,6 +1393,63 @@ def oracle_sql() -> dict[str, str]:
     o["o18_inline_emissions"] = """
         SELECT CAST(user_id AS VARCHAR) AS uid, CAST(floor(value) AS BIGINT) AS err_val
         FROM events WHERE event_type = 'error'
+    """
+    # Guard-gated variants: segments split after every purchase row (the
+    # engine splits on the end flag pre-guard; equivalent to the reference
+    # for update-guarded ends — an excluded end implies a creator-less
+    # segment, where nothing was live to keep open); a row's codeblock ran
+    # iff a signup precedes it within its segment.
+    _GUARDED_SEG_CTE = """
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type, CAST(floor(value) AS BIGINT) AS val,
+                 COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+          FROM events WHERE event_type IS NOT NULL
+        ),
+        i AS (
+          SELECT *, sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id, seg ORDER BY ts, event_id) AS n_creators
+          FROM e
+        )
+    """
+    o["o18b_guarded_emissions"] = _GUARDED_SEG_CTE + """
+        SELECT CAST(user_id AS VARCHAR) AS uid, val AS err_val
+        FROM i WHERE event_type = 'error' AND n_creators >= 1
+    """
+    o["pipe_route_counts_guarded"] = _GUARDED_SEG_CTE + """
+        , g AS (
+          SELECT user_id, seg,
+                 bool_or(event_type = 'purchase') AS has_p,
+                 bool_or(event_type = 'signup') AS has_c,
+                 sum(CASE WHEN event_type = 'error' AND n_creators >= 1 THEN 1 ELSE 0 END) AS inc_err
+          FROM i GROUP BY user_id, seg
+        )
+        SELECT 'completed' AS sink, CAST(COALESCE(sum(CASE WHEN has_p AND has_c THEN 1 ELSE 0 END), 0) AS BIGINT) AS n FROM g
+        UNION ALL
+        SELECT 'timeout' AS sink, CAST(0 AS BIGINT) AS n
+        UNION ALL
+        SELECT 'inline' AS sink, CAST(COALESCE(sum(inc_err), 0) AS BIGINT) AS n FROM g
+        UNION ALL
+        SELECT 'open' AS sink, CAST(COALESCE(sum(CASE WHEN has_c AND NOT has_p THEN 1 ELSE 0 END), 0) AS BIGINT) AS n FROM g
+        UNION ALL
+        SELECT 'passthrough' AS sink,
+               (SELECT count(*) FROM events WHERE event_type IS NOT NULL)
+               - CAST(COALESCE(sum(inc_err), 0) AS BIGINT) AS n
+        FROM g
+    """
+    o["o19b_guarded_exception_tags"] = """
+        WITH i AS (
+          SELECT user_id, ts, event_id, event_type, CAST(floor(value) AS BIGINT) AS val,
+                 sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS n_creators
+          FROM events WHERE event_type IS NOT NULL
+        )
+        SELECT event_type AS etype,
+               CAST(sum(CASE WHEN event_type <> 'signup' AND n_creators >= 1 AND val < 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
+               count(*) AS n_total
+        FROM i GROUP BY event_type
     """
     o["pipe_resume_seeds"] = _PIPE_GAP_SQL
     o["u01_regex_parse"] = """

@@ -157,6 +157,19 @@ class PipelineConfig:
             if r.rule_id in seen:
                 raise ConfigurationError(f"duplicate rule_id {r.rule_id!r}")
             seen.add(r.rule_id)
+            if r.end_of_task and r.map_action == "create":
+                # A duplicate `create` on a live map returns BEFORE the
+                # end_of_task deletion (aggregate.rb:216 precedes :240), so
+                # such a row must neither close nor split the map — but the
+                # engine's segment split (sessionize) runs before guard
+                # resolution and would split on it, diverging. The reference
+                # accepts the combination but never tests it; rejecting it
+                # is honest where silent divergence would not be.
+                raise ConfigurationError(
+                    f"rule {r.rule_id!r}: end_of_task with map_action='create' "
+                    "is unsupported (a duplicate create must not close the "
+                    "live map; use 'update' or 'create_or_update')"
+                )
         if self.push_previous_map_as_event and any(
             r.map_action != "create_or_update" for r in self.rules
         ):

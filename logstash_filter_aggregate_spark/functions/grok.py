@@ -145,6 +145,27 @@ BASE_PATTERNS: dict[str, str] = {
     "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
     "JAVAFILE": r"[A-Za-z0-9_. -]+",
     "JAVAMETHOD": r"(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)",
+    # base-dictionary completion (the remaining public base-file names)
+    "BOOLEAN": r"(?:[Tt]rue|TRUE|[Ff]alse|FALSE)",
+    "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9A-Fa-f]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
+    # java family long tail
+    "JAVATHREAD": r"(?:[A-Z]{2}-Processor\d+)",
+    "JAVALOGMESSAGE": r".*",
+    "JAVASTACKTRACEPART": (
+        r"\s+at (?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*"
+        r"\.(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)\([A-Za-z0-9_. -]+(?::\d+)?\)"
+    ),
+    "CATALINA_DATESTAMP": rf"{_MONTH} {_MONTHDAY}, \d{{4}} \d{{1,2}}:[0-5]\d:[0-5]\d (?:AM|PM)",
+    "TOMCAT_DATESTAMP": (
+        rf"\d{{4}}-{_MONTHNUM2}-(?:0[1-9]|[12]\d|3[01]) "
+        rf"(?:2[0123]|[01]\d):[0-5]\d:[0-5]\d(?:[.,]\d+)? {_ISO8601_TIMEZONE}"
+    ),
+    # syslog RFC5424 pieces + cron / ruby / nagios odds and ends
+    "SYSLOG5424PRI": r"<\d{1,5}>",
+    "SYSLOG5424SD": r"(?:\[.*?\]+|-)",
+    "CRON_ACTION": r"[A-Z ]+",
+    "RUBY_LOGLEVEL": r"(?:DEBUG|FATAL|ERROR|WARN|INFO)",
+    "NAGIOSTIME": r"\[\d+\]",
 }
 
 # Composite grok EXPRESSIONS (with capture semantics) for the classic

@@ -114,6 +114,16 @@ def value_col_name(rule_id: str, expr: str) -> str:
     return f"_v_{rule_id}_{_h.md5(expr.encode()).hexdigest()[:8]}"
 
 
+def emit_col_name(rule_id: str, out_name: str) -> str:
+    """Pre-evaluated ``emit`` output column (O18) riding the narrow
+    correlation stream — needed when the emit rule is guard-gated
+    (``map_action`` create/update), because the emission then depends on
+    ``_included``, which only exists after sessionize+guards."""
+    import hashlib as _h
+
+    return f"_e_{rule_id}_{_h.md5(out_name.encode()).hexdigest()[:8]}"
+
+
 NARROW_BASE = [
     "conv_id", "turn_idx", "ts", TASK_ID_COL, KIND_COL,
     "_end_flag", "_action", "_custom_timeout", "_custom_inactivity",
@@ -134,6 +144,14 @@ def narrow_for_correlation(classified: DataFrame, cfg: PipelineConfig) -> DataFr
             name = value_col_name(r.rule_id, s.col)
             if name not in vcols:
                 vcols[name] = F.when(F.col(KIND_COL) == r.rule_id, F.expr(s.col)).alias(name)
+        if r.emit and r.map_action != "create_or_update":
+            # guard-gated emit rule: the emission fires only for _included
+            # rows, decided post-sessionize — pre-evaluate the emit
+            # expressions here so the inline bucket reads them off the
+            # guarded frame without a second pass over the raw stream
+            for out_name, e in r.emit.items():
+                cname = emit_col_name(r.rule_id, out_name)
+                vcols[cname] = F.when(F.col(KIND_COL) == r.rule_id, F.expr(e)).alias(cname)
     seed_cols = [c for c in classified.columns if c.startswith("_seed_")]
 
     narrow_base: list[Column | str] = list(NARROW_BASE)

@@ -71,12 +71,26 @@ def synth_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def _fake_decode(payload: bytes | None, dim: int) -> np.ndarray:
-    if payload is None:
-        return np.zeros(dim, dtype=np.float32)
-    raw = np.frombuffer(payload, dtype=np.uint8)
-    reps = int(np.ceil(dim / max(len(raw), 1)))
-    return (np.tile(raw, reps)[:dim].astype(np.float32) / 255.0)
+def _fake_decode_batch(payloads, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole Arrow batch of byte payloads at once: all payloads
+    are packed into ONE contiguous uint8 buffer and the per-row cyclic
+    tile (feature[i, j] = payload[i][j mod len_i] / 255) becomes a single
+    2-D fancy gather — no per-row Python in the batch hot loop. Returns
+    ``(lens, features)`` with ``features`` shaped (rows, dim); zero-length
+    / NULL payloads yield zero vectors."""
+    n = len(payloads)
+    lens = np.fromiter(
+        (0 if p is None else len(p) for p in payloads), dtype=np.int64, count=n
+    )
+    buf = np.frombuffer(b"".join(p for p in payloads if p), dtype=np.uint8)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    safe = np.maximum(lens, 1)
+    idx = offsets[:, None] + (np.arange(dim)[None, :] % safe[:, None])
+    feats = np.zeros((n, dim), dtype=np.float32)
+    nz = lens > 0
+    if nz.any() and len(buf):
+        feats[nz] = buf[idx[nz]].astype(np.float32) / 255.0
+    return lens, feats
 
 
 def extract_features(
@@ -98,12 +112,12 @@ def extract_features(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p, dim) for p in pdf["payload"]]
+            lens, feats = _fake_decode_batch(list(pdf["payload"]), dim)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": feats,
+                    "n_bytes": lens,
+                    "feature": list(feats),
                 }
             )
 

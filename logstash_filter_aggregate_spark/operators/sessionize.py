@@ -228,11 +228,15 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
             np.nan_to_num(cust_in) > 0
         ).any()
         seed_ok = seed_creation is None or not np.isfinite(seed_creation[1:]).any()
+        sc0 = None
+        if seed_creation is not None and seed_creation[0] == seed_creation[0]:
+            sc0 = float(seed_creation[0])
         if all_cou and no_overrides and seed_ok and n > 0:
-            sc0 = None
-            if seed_creation is not None and seed_creation[0] == seed_creation[0]:
-                sc0 = float(seed_creation[0])
             _fast_scan(ts, end_seg, sc0, age, timeout, inactivity)
+        elif no_overrides and seed_ok and n > 0:
+            # guarded (create/update actions) but no live overrides: the
+            # vectorized session-hop still applies (tier B)
+            _guarded_scan(ts, end_seg, action, sc0, age, timeout, inactivity)
         elif n > 0:
             if action is None:
                 action = np.full(n, "create_or_update", dtype=object)
@@ -285,6 +289,95 @@ def _fast_scan(ts, end_seg, seed_creation0, age, timeout: float, inactivity: flo
             age[start:nxt] = cur
             cur += 1
             start = nxt
+
+
+def _guarded_scan(ts, end_seg, action, seed_creation0, age, timeout: float, inactivity: float) -> None:
+    """Guarded (create/update actions) session-hop scan — the vectorized
+    tier between ``_fast_scan`` and ``_slow_scan``, valid when no per-map
+    overrides are live. Same O(#sessions · log n) hop structure, extended
+    with the guard semantics the per-row replay preserves (see
+    ``_exact_age_seg``):
+
+    - a duplicate ``create`` neither refreshes the inactivity clock nor
+      re-creates (``aggregate.rb:216`` precedes ``:220``), so the gap
+      measures from the last non-``create`` row of the session;
+    - an ``update`` with no live map is a no-op (``aggregate.rb:203``)
+      that cannot start a session — after a death, the next map starts at
+      the next can-create row;
+    - expiry-on-arrival still runs for every matched row, including rows
+      the guard will then reject (``aggregate.rb:194-199``).
+
+    Gap candidates are precomputed against ``prevref`` (last non-create
+    row before me). Inside a session the candidate set is exact past the
+    session's initial create-run (prevref then points inside the session)
+    and a superset within it (stale prevref only overestimates the gap),
+    so the run is re-checked directly against the session start — a
+    binary search over a usually-tiny range.
+    """
+    import numpy as np
+
+    n = len(ts)
+    nonref = action == "create"
+    is_update = action == "update"
+    # last-refresh ts before each row: ts is non-decreasing, so the LAST
+    # refreshing row's ts equals the running MAX of refresh-row ts — a
+    # single accumulate, no index gather
+    ref_ts = np.where(nonref, -np.inf, ts)
+    run = np.maximum.accumulate(ref_ts)
+    gap_flag = np.zeros(n, dtype=bool)
+    if n > 1:
+        gap_flag[1:] = (ts[1:] - run[:-1] > inactivity) & np.isfinite(run[:-1])
+    gap_rows = np.flatnonzero(gap_flag)
+    cc_rows = np.flatnonzero(~is_update)           # can-create rows
+    nonref_rows = np.flatnonzero(~nonref)          # rows that refresh `last`
+    block_starts = np.concatenate(
+        ([0], np.flatnonzero(end_seg[1:] != end_seg[:-1]) + 1, [n])
+    )
+
+    # bound methods: the hop loop runs once per session — keep its body
+    # free of np.* wrapper overhead (measurable at ~3k sessions/task)
+    gap_ss, n_gap = gap_rows.searchsorted, len(gap_rows)
+    cc_ss, n_cc = cc_rows.searchsorted, len(cc_rows)
+    nr_ss, n_nr = nonref_rows.searchsorted, len(nonref_rows)
+
+    for bi in range(len(block_starts) - 1):
+        s0, e = int(block_starts[bi]), int(block_starts[bi + 1])
+        cur = 0
+        ci = cc_ss(s0)
+        s = int(cc_rows[ci]) if ci < n_cc and cc_rows[ci] < e else e
+        age[s0:s] = cur
+        while s < e:
+            creation = (
+                seed_creation0 if (s == 0 and seed_creation0 is not None) else ts[s]
+            )
+            # initial create-run: rows (s, ncr] still measure the gap from
+            # ts[s] (nothing refreshed `last` yet)
+            ri = nr_ss(s + 1)
+            ncr = int(nonref_rows[ri]) if ri < n_nr and nonref_rows[ri] < e else e
+            if ncr == s + 1 or s + 1 >= e:
+                # common shape: the next row already refreshes `last`, so
+                # the run check degenerates to one comparison
+                g_run = s + 1 if (s + 1 < e and ts[s + 1] - ts[s] > inactivity) else e
+            else:
+                # rare multi-row create-run: binary search on the run view
+                hi = min(ncr + 1, e)
+                g_run = s + 1 + int(ts[s + 1 : hi].searchsorted(ts[s] + inactivity, "right"))
+                if g_run >= hi:
+                    g_run = e
+            gi = gap_ss((ncr if ncr > s else s) + 1)
+            g_flag = int(gap_rows[gi]) if gi < n_gap and gap_rows[gi] < e else e
+            a = s + 1 + int(ts[s + 1 : e].searchsorted(creation + timeout, "right"))
+            b = min(g_run, g_flag, a, e)
+            age[s:b] = cur
+            if b >= e:
+                break
+            # the map dies on row b's arrival; the next map starts at the
+            # next can-create row (no-op updates in between share the new
+            # generation label, exactly like the per-row replay)
+            cur += 1
+            ci = cc_ss(b)
+            s = int(cc_rows[ci]) if ci < n_cc and cc_rows[ci] < e else e
+            age[b:s] = cur
 
 
 def _slow_scan(

@@ -96,6 +96,27 @@ def _pre_guard_included(w) -> Column:
     )
 
 
+def guard_inclusion_frame(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Per-row guard inclusion ``(conv_id, turn_idx, _g_included)`` for
+    guard-gated rules, resolved directly on the classified stream with the
+    same narrow pre-window :func:`prereduce` uses — the prereduce-path
+    substitute for ``apply_guards``'s ``_included`` (which only exists at
+    per-row grain on the NON-prereduced sessionized frame). Valid under
+    prereduce's own precondition (no mid-segment gap/age expiry, enforced
+    by :func:`prereduce`); joins back to the full-width stream on the
+    (conv_id, turn_idx) row key."""
+    w = W.partitionBy(TASK_ID_COL).orderBy("ts", "conv_id", "turn_idx")
+    gated = [r.rule_id for r in cfg.rules if r.map_action != "create_or_update"]
+    part = classified.where(
+        F.col(TASK_ID_COL).isNotNull() & F.col(KIND_COL).isNotNull()
+    ).select("conv_id", "turn_idx", "ts", TASK_ID_COL, KIND_COL, "_action", "_end_flag")
+    return (
+        part.withColumn("_g_included", _pre_guard_included(w))
+        .where(F.col(KIND_COL).isin(gated))
+        .select("conv_id", "turn_idx", "_g_included")
+    )
+
+
 def prereduce(
     classified: DataFrame,
     cfg: PipelineConfig,

@@ -87,48 +87,156 @@ def enrich(df: DataFrame, dims: dict[str, DataFrame] | None = None) -> DataFrame
     return df
 
 
-def _exception_flag(cfg: PipelineConfig) -> F.Column:
-    """O19: a matched row whose required agg input is NULL — the
-    reference's codeblock would raise and tag ``_aggregateexception``
-    (``aggregate.rb:229-237``)."""
-    flag = F.lit(False)
+def _code_ran(r: CorrelationRule, with_incl: bool) -> F.Column:
+    """True where the reference would actually RUN this rule's codeblock
+    (``aggregate.rb:226``): the rule matched, the task id resolved
+    (``aggregate.rb:183`` returns before the code otherwise), and the
+    map-action guard passed (``aggregate.rb:203,216`` return before the
+    code for a no-map ``update`` / duplicate ``create``). Emissions,
+    exception tagging and cancellation are all code side-effects, so all
+    three gate on this. For guard-gated rules the inclusion bit arrives
+    pre-joined as ``_g_included`` (NULL ⇒ the row never reached the
+    sessionized stream ⇒ the code did not run)."""
+    cond = (F.col("_rule_id") == r.rule_id) & F.col("_task_id").isNotNull()
+    if r.map_action != "create_or_update" and with_incl:
+        cond = cond & F.coalesce(F.col("_g_included"), F.lit(False))
+    return cond
+
+
+def _exception_flag(cfg: PipelineConfig, with_incl: bool, with_tagged: bool = False) -> F.Column:
+    """O19: a row whose codeblock RAN with a NULL required agg input — the
+    reference's code would raise and tag ``_aggregateexception``
+    (``aggregate.rb:229-237``). Gated rules' contribution arrives either
+    as the joined ``_g_included`` bit (``with_incl``) or pre-decided as
+    the broadcast ``_g_tagged`` key set (``with_tagged``)."""
+    flag = (
+        F.coalesce(F.col("_g_tagged"), F.lit(False)) if with_tagged else F.lit(False)
+    )
     for r in cfg.rules:
         req = [s for s in r.aggs if s.required and s.col]
         if not req:
             continue
-        cond = F.col("_rule_id") == r.rule_id
+        if r.map_action != "create_or_update" and with_tagged:
+            continue  # handled by the _g_tagged key set
         nulls = F.lit(False)
         for s in req:
             nulls = nulls | F.expr(s.col).isNull()
-        flag = flag | (cond & nulls)
+        flag = flag | (_code_ran(r, with_incl) & nulls)
     return flag
 
 
-def passthrough_stream(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def tagged_exception_keys(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Row keys of guard-gated rows the reference's code would raise on:
+    ``_included`` AND a NULL required input — evaluated on the guarded
+    frame's pre-projected ``_v_*`` columns, so the decision rides the
+    existing task exchange and the result is a FEW rows (nulls are the
+    exception, literally) that broadcast back onto the passthrough
+    without shuffling the event stream."""
+    from logstash_filter_aggregate_spark.operators.correlate import value_col_name
+
+    cond = F.lit(False)
+    for r in cfg.rules:
+        if r.map_action == "create_or_update":
+            continue
+        req = [s for s in r.aggs if s.required and s.col]
+        if not req:
+            continue
+        nulls = F.lit(False)
+        for s in req:
+            nulls = nulls | F.col(value_col_name(r.rule_id, s.col)).isNull()
+        cond = cond | ((F.col("_rule_id") == r.rule_id) & nulls)
+    return (
+        guarded.where(F.col("_included") & cond)
+        .select("conv_id", "turn_idx", F.lit(True).alias("_g_tagged"))
+    )
+
+
+def passthrough_stream(
+    classified: DataFrame,
+    cfg: PipelineConfig,
+    incl_df: DataFrame | None = None,
+    tagged_df: DataFrame | None = None,
+) -> DataFrame:
     """The event stream continuing downstream (the reference yields every
     non-cancelled event, ``aggregate.rb:251-254``): original columns +
     accumulated tags; rows consumed by cancel rules dropped (U3,
-    ``docs/index.asciidoc:235,244``)."""
-    df = classified.where(~F.col("_cancel"))
-    exc = _exception_flag(cfg)
+    ``docs/index.asciidoc:235,244``). Both the cancel and the
+    ``_aggregateexception`` tag are code side-effects, so they only apply
+    where the code ran (:func:`_code_ran`).
+
+    Guard-gated code rules need per-row inclusion, delivered one of two
+    ways (configs without gated code rules pay neither — no join is
+    planned):
+
+    - ``tagged_df`` (gated REQUIRED-agg rules, the common case): the
+      pre-decided exception keys broadcast onto the stream — the
+      passthrough stays scan-shaped (zero event-stream shuffle); the
+      build side re-runs the narrow correlation stage once.
+    - ``incl_df`` (gated CANCEL rules, or the prereduce path): full
+      per-row inclusion ``(conv_id, turn_idx, _g_included)`` joined on
+      the row key — one extra exchange of the passthrough stream;
+      unavoidable, since cancellation must decide for EVERY matched row,
+      not just the rare null ones.
+    """
+    df = classified
+    if incl_df is not None:
+        df = df.join(incl_df, ["conv_id", "turn_idx"], "left")
+    elif tagged_df is not None:
+        df = df.join(F.broadcast(tagged_df), ["conv_id", "turn_idx"], "left")
+    with_incl = incl_df is not None
+    cancel = F.lit(False)
+    for r in cfg.rules:
+        if r.cancel:
+            cancel = cancel | _code_ran(r, with_incl)
+    df = df.where(~cancel)
+    exc = _exception_flag(cfg, with_incl, with_tagged=tagged_df is not None and incl_df is None)
     tags = F.col("parse_tags")
     tags = F.when(exc, F.array_union(tags, F.array(F.lit("_aggregateexception")))).otherwise(tags)
     df = df.withColumn("tags", tags)
     return df.drop(
         "_rule_id", "_task_id", "_end_flag", "_action", "_cancel",
-        "_custom_timeout", "_custom_inactivity", "parse_tags",
+        "_custom_timeout", "_custom_inactivity", "parse_tags", "_g_included", "_g_tagged",
     )
 
 
-def inline_emissions(classified: DataFrame, cfg: PipelineConfig) -> DataFrame | None:
-    """O18 (``new_event_block``, ``aggregate.rb:91,226``): each row matched
-    by a rule with ``emit`` produces one derived event immediately."""
+def inline_emissions(
+    classified: DataFrame,
+    cfg: PipelineConfig,
+    guarded: DataFrame | None = None,
+    incl_df: DataFrame | None = None,
+) -> DataFrame | None:
+    """O18 (``new_event_block``, ``aggregate.rb:91,226``): each row whose
+    codeblock ran for a rule with ``emit`` produces one derived event
+    immediately. The code runs only past the task-id resolution and the
+    map-action guard (:func:`_code_ran`), so:
+
+    - rules with ``create_or_update`` emit straight off the classified
+      stream (guard always passes) — zero extra shuffle;
+    - guard-gated rules read the pre-evaluated ``_e_*`` columns off the
+      ``guarded`` sessionized frame where ``_included`` (riding the
+      existing task exchange), or — on the prereduce path, where no
+      per-row guarded frame exists — join ``incl_df`` back to the
+      classified rows of that rule.
+    """
+    from logstash_filter_aggregate_spark.operators.correlate import emit_col_name
+
     outs: list[DataFrame] = []
     for r in cfg.rules:
         if not r.emit:
             continue
-        rows = classified.where(F.col("_rule_id") == r.rule_id)
-        outs.append(rows.select(*[F.expr(e).alias(n) for n, e in r.emit.items()]))
+        if r.map_action != "create_or_update" and guarded is not None:
+            rows = guarded.where((F.col("_rule_id") == r.rule_id) & F.col("_included"))
+            outs.append(
+                rows.select(*[F.col(emit_col_name(r.rule_id, n)).alias(n) for n in r.emit])
+            )
+        elif r.map_action != "create_or_update" and incl_df is not None:
+            rows = classified.join(incl_df, ["conv_id", "turn_idx"], "left").where(
+                _code_ran(r, with_incl=True)
+            )
+            outs.append(rows.select(*[F.expr(e).alias(n) for n, e in r.emit.items()]))
+        else:
+            rows = classified.where(_code_ran(r, with_incl=False))
+            outs.append(rows.select(*[F.expr(e).alias(n) for n, e in r.emit.items()]))
     if not outs:
         return None
     df = outs[0]
@@ -166,6 +274,12 @@ def run_pipeline(
     parsed = transcripts if pre_parsed else parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
+    # rules whose code side-effects (emit / exception tag / cancel) are
+    # guard-gated: their effects depend on per-row _included
+    gated = [r for r in cfg.rules if r.map_action != "create_or_update"]
+    gated_emit = any(r.emit for r in gated)
+    gated_cancel = any(r.cancel for r in gated)
+    gated_req = any(any(s.required and s.col for s in r.aggs) for r in gated)
     if prereduce_s is not None:
         from logstash_filter_aggregate_spark.operators.skew import prereduce
 
@@ -184,6 +298,34 @@ def run_pipeline(
 
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
+
+    # per-row inclusion for gated code side-effects (see the
+    # passthrough_stream docstring for the cost model of each delivery).
+    # Prereduce: the guarded frame holds super-rows, so inclusion resolves
+    # on the classified stream with the narrow pre-window instead (valid
+    # under prereduce's own no-mid-segment-expiry precondition).
+    incl_df = None
+    tagged_df = None
+    if prereduce_s is not None:
+        if gated_emit or gated_cancel or gated_req:
+            from logstash_filter_aggregate_spark.operators.skew import guard_inclusion_frame
+
+            incl_df = guard_inclusion_frame(classified, cfg)
+    elif gated_cancel:
+        gated_ids = [
+            r.rule_id for r in gated
+            if r.cancel or any(s.required and s.col for s in r.aggs)
+        ]
+        incl_df = guarded.where(F.col("_rule_id").isin(gated_ids)).select(
+            "conv_id", "turn_idx", F.col("_included").alias("_g_included")
+        )
+    elif gated_req:
+        tagged_df = tagged_exception_keys(guarded, cfg)
+        if cache_sessions:
+            # a multi-bucket job consumes the passthrough alongside the
+            # routed buckets — keep the (tiny) key set, not the stage
+            tagged_df = tagged_df.persist()
+
     sessions = aggregate_sessions(guarded, cfg)
     wm_value = None
     if cache_sessions:
@@ -201,7 +343,11 @@ def run_pipeline(
     )
 
     inline = routed.inline
-    emitted = inline_emissions(classified, cfg)
+    emitted = inline_emissions(
+        classified, cfg,
+        guarded=guarded if (gated_emit and prereduce_s is None) else None,
+        incl_df=incl_df if gated_emit else None,
+    )
     if emitted is not None:
         inline = inline.unionByName(emitted, allowMissingColumns=True)
 
@@ -210,7 +356,11 @@ def run_pipeline(
         timeout=routed.timeout,
         inline=inline,
         open=routed.open,
-        passthrough=passthrough_stream(classified, cfg),
+        passthrough=passthrough_stream(
+            classified, cfg,
+            incl_df=incl_df if (gated_cancel or gated_req) else None,
+            tagged_df=tagged_df,
+        ),
         sessions=routed.sessions,
     )
 

@@ -364,6 +364,172 @@ def stream_to_routed_sinks(
     return writer.start()
 
 
+def streaming_inline_emissions(stream_df: DataFrame, cfg: PipelineConfig, groks=None) -> DataFrame:
+    """O18 over a stream: ``new_event_block`` emissions for
+    ``create_or_update`` rules are stateless per matched row (the guard
+    always passes, ``aggregate.rb:202``), so they are a plain streaming
+    projection — no state, no watermark. Guard-gated emit rules
+    (``map_action`` create/update) depend on per-row map state that keyed
+    streaming state CAN express but this helper does not implement; they
+    raise rather than silently emit rows the reference would suppress
+    (use the batch engine / replay_push_previous for those shapes)."""
+    from logstash_filter_aggregate_spark.config import ConfigurationError
+
+    gated = [r.rule_id for r in cfg.rules if r.emit and r.map_action != "create_or_update"]
+    if gated:
+        raise ConfigurationError(
+            f"streaming inline emissions require map_action='create_or_update' "
+            f"for emit rules (guard-gated: {gated})"
+        )
+    parsed = parse(stream_df, groks or compile_groks())
+    classified = classify(parsed, cfg)
+    outs = []
+    for r in cfg.rules:
+        if not r.emit:
+            continue
+        rows = classified.where(
+            (F.col("_rule_id") == r.rule_id) & F.col("_task_id").isNotNull()
+        )
+        outs.append(rows.select(*[F.expr(e).alias(n) for n, e in r.emit.items()]))
+    if not outs:
+        raise ConfigurationError("no emit rules in config")
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o, allowMissingColumns=True)
+    return df
+
+
+def replay_push_previous(
+    spark,
+    input_dir: str,
+    cfg: PipelineConfig,
+    base_path: str,
+    checkpoint: str,
+    groks=None,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming replay of ``push_previous_map_as_event`` (O16/O20).
+
+    The pop discipline — the single live map dies on EVERY task-id change
+    in arrival order (``aggregate.rb:205-208,314-320``) — is a
+    GLOBAL-order property across keys: keyed ``applyInPandasWithState``
+    cannot express it, because one key's state must react to OTHER keys'
+    arrivals. The reference itself runs serial (``-w 1``,
+    ``docs/index.asciidoc:29-30``), so the faithful streaming form is a
+    serial-equivalent incremental replay: each micro-batch runs the batch
+    engine's exact push_previous over (carried live map ∪ batch), appends
+    the popped maps to the sinks, and carries the still-live map to the
+    next batch as a resume seed (the ``aggregate_maps_path`` machinery,
+    plans/resume.py). After the stream drains, the carried map is pushed
+    with the ``_aggregatefinalflush`` tag (``aggregate.rb:348-351``).
+
+    Exactly-once: sink and state writes go to ``batch_id=N`` directories
+    with overwrite, and batch N reads the state of the LARGEST id < N —
+    a replayed batch reconstructs from its true predecessor. State
+    listing uses the local filesystem (this sandbox); on a cluster point
+    ``base_path`` at a shared FS.
+
+    Batches are assumed to arrive in event-time order (an ordered file
+    source) — the same event-time-equals-arrival-order model the batch
+    engine documents.
+    """
+    import os
+    import re as _re
+
+    from logstash_filter_aggregate_spark.operators.correlate import (
+        _timeout_event,
+        aggregate_sessions,
+        apply_guards,
+        narrow_for_correlation,
+    )
+    from logstash_filter_aggregate_spark.operators.sessionize import sessionize
+    from logstash_filter_aggregate_spark.plans.resume import inject_seeds
+
+    if not cfg.push_previous_map_as_event:
+        raise ValueError("cfg must set push_previous_map_as_event=True")
+    schema = spark.read.parquet(input_dir).schema
+    state_root = f"{base_path}/_pp_state"
+    seg_drop = ["_end_seg", "_gap_seg", "_age_seg", "close_kind"]
+
+    def _latest_state(before: int) -> str | None:
+        if not os.path.isdir(state_root):
+            return None
+        ids = [
+            int(m.group(1))
+            for d in os.listdir(state_root)
+            if (m := _re.fullmatch(r"batch_id=(\d+)", d))
+            and m and int(m.group(1)) < before
+            and os.path.exists(f"{state_root}/{d}/_SUCCESS")
+        ]
+        return f"{state_root}/batch_id={max(ids)}" if ids else None
+
+    def _as_open(df: DataFrame) -> DataFrame:
+        return (
+            df.drop(*seg_drop)
+            .withColumnRenamed("_session_timeout", "map_custom_timeout")
+            .withColumnRenamed("_session_inactivity", "map_custom_inactivity")
+        )
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _latest_state(batch_id)
+        seed = spark.read.parquet(prev) if prev else None
+        classified = classify(parse(batch_df, groks or compile_groks()), cfg)
+        corr = inject_seeds(narrow_for_correlation(classified, cfg), seed, cfg)
+        sessions = aggregate_sessions(apply_guards(sessionize(corr, cfg), cfg), cfg)
+        sessions = sessions.persist()
+        try:
+            completed = sessions.where(F.col("close_kind") == "end")
+            inline = sessions.where(F.col("close_kind") == "custom0")
+            cand = sessions.where(F.col("close_kind").isNull())
+            glast = cand.agg(F.max(F.struct("creation_ts", "task_id")).alias("_g"))
+            cand = cand.crossJoin(F.broadcast(glast)).withColumn(
+                "_last", F.col("_g") == F.struct("creation_ts", "task_id")
+            ).drop("_g")
+            pushed = _timeout_event(
+                cand.where(~F.col("_last")).drop("_last"), cfg, final_col=None
+            ).drop(*seg_drop, "_session_timeout", "_session_inactivity")
+            pushed.write.mode("overwrite").parquet(f"{base_path}/timeout/batch_id={batch_id}")
+            # completed maps pass through plain (route_sessions does not
+            # run end-closed maps through the timeout-event projection)
+            completed.drop(
+                *seg_drop, "_session_timeout", "_session_inactivity"
+            ).write.mode("overwrite").parquet(f"{base_path}/completed/batch_id={batch_id}")
+            _timeout_event(inline, cfg, final_col=None).drop(
+                *seg_drop, "_session_timeout", "_session_inactivity"
+            ).write.mode("overwrite").parquet(f"{base_path}/inline/batch_id={batch_id}")
+            _as_open(cand.where(F.col("_last")).drop("_last")).write.mode(
+                "overwrite"
+            ).parquet(f"{state_root}/batch_id={batch_id}")
+        finally:
+            sessions.unpersist()
+
+    src = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        src.parquet(input_dir)
+        .writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # final flush (O20): push the carried live map with the final tag
+    last = _latest_state(1 << 62)
+    if last is not None:
+        live = spark.read.parquet(last)
+        if live.count() > 0:
+            sessions_like = (
+                live.withColumnRenamed("map_custom_timeout", "_session_timeout")
+                .withColumnRenamed("map_custom_inactivity", "_session_inactivity")
+                .withColumn("_final", F.lit(True))
+            )
+            _timeout_event(sessions_like, cfg, final_col="_final").drop(
+                "_final", "_session_timeout", "_session_inactivity"
+            ).write.mode("overwrite").parquet(f"{base_path}/timeout/batch_id=final")
+
+
 def replay_routed(
     spark,
     input_dir: str,

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from logstash_filter_aggregate_spark.operators import dedup
 from logstash_filter_aggregate_spark.plans.pipeline import (
     example1_config,
+    example3_config,
     example5_config,
     run_pipeline,
 )
@@ -81,6 +82,42 @@ def test_dim_join_broadcasts(spark, transcripts_path):
     plan = _plan(out.passthrough)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_guard_gated_passthrough_plan_shapes(spark, transcripts_path):
+    # Gated REQUIRED-agg rules (example1's update rule): the exception
+    # keys broadcast onto the passthrough — the event stream itself must
+    # NOT shuffle (no SortMergeJoin / no hash exchange on the stream's
+    # row key). Gated CANCEL rules: per-row inclusion is unavoidable —
+    # the row-key join is the documented cost, and it must be the ONLY
+    # reason a shuffle appears.
+    from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
+
+    t = spark.read.parquet(transcripts_path)
+    tagged_plan = _plan(
+        run_pipeline(spark, t, example1_config(timeout=3600.0)).passthrough
+    )
+    assert "SortMergeJoin" not in tagged_plan, tagged_plan
+    assert "BroadcastHashJoin" in tagged_plan, tagged_plan
+
+    cancel_cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+            CorrelationRule("err", "err_tool is not null", map_action="update", cancel=True),
+        ),
+        timeout=3600.0,
+    )
+    # the guard-resolution window subtree must feed the join (whether the
+    # planner picks SMJ or, with small stats, a broadcast)
+    cancel_plan = _plan(run_pipeline(spark, t, cancel_cfg).passthrough)
+    assert "Join" in cancel_plan and "Window" in cancel_plan, cancel_plan
+
+    # ungated configs plan no join at all on the passthrough
+    plain_plan = _plan(
+        run_pipeline(spark, t, example3_config(timeout=600.0)).passthrough
+    )
+    assert "Join" not in plain_plan, plain_plan
 
 
 def test_no_cartesian_or_nested_loop_in_pipeline(spark, transcripts_path):

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule
 from logstash_filter_aggregate_spark.plans.pipeline import example1_config, example3_config, run_pipeline
 from logstash_filter_aggregate_spark.sources.transcripts import generate_transcripts
+from tests.conftest import make_transcript
 
 
 @pytest.fixture(scope="module")
@@ -261,6 +262,127 @@ def test_replay_routed_final_flush_matches_batch(spark, tmp_path):
     assert len(expect) > 0
     # the source dataset is untouched: no sentinel rows leaked into it
     assert spark.read.parquet(p).where("conv_id = '__heartbeat__'").count() == 0
+
+
+def test_replay_push_previous_matches_batch(spark, tmp_path):
+    # O16 over a stream: the serial-equivalent incremental replay
+    # (foreachBatch + carried live-map seed) must equal the batch
+    # engine's exact push_previous on the full input — including a task
+    # run that SPANS a micro-batch boundary (the carried map merges with
+    # its continuation) and the final-flush tag on the last map.
+    import glob
+    import os
+    import shutil
+
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import replay_push_previous
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),),
+            ),
+        ),
+        timeout=1e9,
+        push_previous_map_as_event=True,
+        push_previous_exact=True,
+        timeout_task_id_field="uid",
+    )
+    # contiguous runs: A×3 | B×2 ‖ B×2 C×1 ‖ C×1 A×2   (‖ = file boundary;
+    # the B and C runs each span one)
+    slices = [
+        [(0, "INFO - A - Clicked One", 0), (1, "INFO - A - Clicked One", 1),
+         (2, "INFO - A - Clicked One", 2), (3, "INFO - B - Clicked One", 3),
+         (4, "INFO - B - Clicked One", 4)],
+        [(5, "INFO - B - Clicked One", 5), (6, "INFO - B - Clicked One", 6),
+         (7, "INFO - C - Clicked One", 7)],
+        [(8, "INFO - C - Clicked One", 8), (9, "INFO - A - Clicked One", 9),
+         (10, "INFO - A - Clicked One", 10)],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(slices):
+        tmp = str(tmp_path / f"slice{i}")
+        make_transcript(spark, rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{in_dir}/{chr(97 + i)}.parquet"
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))  # deterministic batch order
+
+    base = str(tmp_path / "out")
+    replay_push_previous(
+        spark, in_dir, cfg, base, str(tmp_path / "cp"), max_files_per_trigger=1
+    )
+    got = spark.read.parquet(f"{base}/timeout").select(
+        "uid", "clicks", "nevents", "creation_ts", "lastevent_ts",
+        F.array_contains("tags", "_aggregatefinalflush").alias("final_flush"),
+    ).collect()
+
+    full = spark.read.parquet(in_dir)
+    batch = run_pipeline(spark, full, cfg)
+    expect = batch.timeout.select(
+        "uid", "clicks", "nevents", "creation_ts", "lastevent_ts",
+        F.array_contains("tags", "_aggregatefinalflush").alias("final_flush"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    # the spanning runs really merged: B has one 4-event map, C one 2-event
+    by_uid = {(r.uid, r.nevents) for r in got}
+    assert ("B", 4) in by_uid and ("C", 2) in by_uid and ("A", 3) in by_uid
+    assert [r.uid for r in got if r.final_flush] == ["A"]
+
+
+def test_streaming_inline_emissions(spark, tmp_path):
+    # O18 over a stream: stateless emissions for create_or_update rules
+    from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_inline_emissions
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "err", "err_tool is not null",
+                emit={"uid": "taskid", "code": "err_code"},
+            ),
+        ),
+        timeout=1e9,
+    )
+    p = str(tmp_path / "in")
+    rows = [
+        (0, "ERROR - u1 - TOOL - http - E503", 0),
+        (1, "INFO - u1 - Clicked One", 1),
+        (2, "ERROR - u2 - TOOL - sql - E500", 2),
+    ]
+    make_transcript(spark, rows).write.parquet(p)
+    schema = spark.read.parquet(p).schema
+    src = spark.readStream.schema(schema).parquet(p)
+    out = streaming_inline_emissions(src, cfg)
+    name = "st_inline_emit"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted((r.uid, r.code) for r in spark.table(name).collect())
+    assert got == [("u1", 503), ("u2", 500)]
+
+    # guard-gated emit rules must refuse (they need per-row map state)
+    import pytest
+
+    from logstash_filter_aggregate_spark.config import ConfigurationError
+
+    gated = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "err", "err_tool is not null", map_action="update",
+                emit={"uid": "taskid"},
+            ),
+        ),
+        timeout=1e9,
+    )
+    with pytest.raises(ConfigurationError):
+        streaming_inline_emissions(src, gated)
 
 
 def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):

@@ -348,6 +348,90 @@ def test_exact_scan_fast_path_equals_slow_and_is_faster():
     assert slow_s / max(fast_s, 1e-9) >= 10, (fast_s, slow_s)
 
 
+def test_guarded_scan_equals_slow_scan_fuzz():
+    # the vectorized guarded session-hop (tier B) must reproduce the
+    # per-row reference replay exactly on randomized guarded streams:
+    # mixed create/update/create_or_update actions, end blocks, gap and
+    # age crossings, duplicate-create runs, dead update zones
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.operators.sessionize import (
+        _guarded_scan,
+        _slow_scan,
+    )
+
+    rng = np.random.RandomState(20260817)
+    for trial in range(60):
+        n = int(rng.randint(1, 400))
+        deltas = rng.choice([1.0, 5.0, 40.0, 200.0, 900.0], size=n)
+        ts = np.cumsum(deltas)
+        end_seg = np.cumsum(rng.rand(n) < 0.05).astype("int64")
+        action = rng.choice(
+            np.array(["create", "update", "create_or_update"], dtype=object),
+            size=n, p=[0.3, 0.4, 0.3],
+        )
+        timeout = float(rng.choice([120.0, 600.0, 3000.0]))
+        inactivity = float(rng.choice([60.0, 300.0, timeout]))
+        inactivity = min(inactivity, timeout)
+        sc0 = float(ts[0] - rng.choice([0.0, 50.0, 1000.0])) if rng.rand() < 0.3 else None
+        seed = None
+        if sc0 is not None:
+            seed = np.full(n, np.nan)
+            seed[0] = sc0
+            action[0] = "create_or_update"
+
+        age_g = np.zeros(n, dtype="int32")
+        _guarded_scan(ts, end_seg, action, sc0, age_g, timeout, inactivity)
+        age_s = np.zeros(n, dtype="int32")
+        nan = np.full(n, np.nan)
+        _slow_scan(ts, end_seg, action, nan, nan, seed, age_s, timeout, inactivity)
+        assert np.array_equal(age_g, age_s), (
+            trial, timeout, inactivity, sc0,
+            np.flatnonzero(age_g != age_s)[:5],
+        )
+
+
+def test_guarded_scan_beats_slow_scan_10x_on_hot_task():
+    # 1M-row guarded hot task (VERDICT r2 item 4): the vectorized tier
+    # must match the per-row replay and beat it by >= 10x
+    import time
+
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.operators.sessionize import (
+        _guarded_scan,
+        _slow_scan,
+    )
+
+    n = 1_000_000
+    rng = np.random.RandomState(13)
+    deltas = rng.choice([1.0, 2.0, 400.0], size=n, p=[0.7985, 0.2, 0.0015])
+    ts = np.cumsum(deltas)
+    end_seg = np.zeros(n, dtype="int64")
+    end_seg[n // 2:] = 1
+    action = rng.choice(
+        np.array(["create", "update", "create_or_update"], dtype=object),
+        size=n, p=[0.05, 0.4, 0.55],
+    )
+    timeout, inactivity = 600.0, 300.0
+
+    age_g = np.zeros(n, dtype="int32")
+    g_s = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _guarded_scan(ts, end_seg, action, None, age_g, timeout, inactivity)
+        g_s = min(g_s, time.perf_counter() - t0)
+
+    age_s = np.zeros(n, dtype="int32")
+    nan = np.full(n, np.nan)
+    t0 = time.perf_counter()
+    _slow_scan(ts, end_seg, action, nan, nan, None, age_s, timeout, inactivity)
+    slow_s = time.perf_counter() - t0
+
+    assert np.array_equal(age_g, age_s)
+    assert slow_s / max(g_s, 1e-9) >= 10, (g_s, slow_s)
+
+
 def test_custom_inactivity_override_exact_mode(spark):
     # spec:410-421 inactivity variant: map_meta.inactivity_timeout=30 set
     # by a click shrinks THIS map's gap clock; the pattern default (600s)
