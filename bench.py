@@ -163,6 +163,13 @@ def main() -> None:
     n_turns = spark.read.parquet(tpath).count()
 
     queries = bench_queries(spark, tpath)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in keep if q not in queries]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        queries = {k: queries[k] for k in keep}
 
     # untimed warmup: run the headline query once on a 1% slice so JIT +
     # whole-stage-codegen compilation happen before the clock starts —
@@ -185,7 +192,7 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    headline = timings["pipeline_example1"]
+    headline = timings.get("pipeline_example1", 0.0)
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "turns/sec parse→aggregate throughput (transcript pipeline) + routed sinks + dedup/ANN/textstats",
