@@ -369,12 +369,10 @@ def _route_counts_config() -> PipelineConfig:
     )
 
 
-def _pipe_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U5/U3/O22 from ONE run_pipeline call: per-sink routed counts with
-    cancel (error rows consumed from the passthrough, docs:235,244) and
-    inline emissions (new_event_block, aggregate.rb:91,226)."""
+def _sink_counts(spark: SparkSession, sf_dir: str, cfg: PipelineConfig) -> DataFrame:
+    """Per-sink routed counts from ONE run_pipeline call."""
     t = events_as_transcripts(spark, sf_dir)
-    out = run_pipeline(spark, t, _route_counts_config(), groks=compile_groks(EVENT_GROK))
+    out = run_pipeline(spark, t, cfg, groks=compile_groks(EVENT_GROK))
     parts = [
         df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
         for name, df in out.as_dict().items()
@@ -384,6 +382,13 @@ def _pipe_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+def _pipe_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/U3/O22 from ONE run_pipeline call: per-sink routed counts with
+    cancel (error rows consumed from the passthrough, docs:235,244) and
+    inline emissions (new_event_block, aggregate.rb:91,226)."""
+    return _sink_counts(spark, sf_dir, _route_counts_config())
 
 
 def _o18_inline_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -418,17 +423,7 @@ def _pipe_route_counts_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pipe_route_counts variant the r2 verdict asked for: the emit
     (and cancel) rule is ``map_action='update'`` — sinks count only the
     side-effects whose codeblock actually ran."""
-    t = events_as_transcripts(spark, sf_dir)
-    out = run_pipeline(spark, t, _guarded_route_config(), groks=compile_groks(EVENT_GROK))
-    parts = [
-        df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(name).alias("sink"), "n")
-        for name, df in out.as_dict().items()
-        if name != "sessions"
-    ]
-    res = parts[0]
-    for p in parts[1:]:
-        res = res.unionByName(p)
-    return res
+    return _sink_counts(spark, sf_dir, _guarded_route_config())
 
 
 def _o18b_guarded_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -107,21 +107,25 @@ def _value_expr(sources: list[tuple[str, str]], projected: bool = False) -> Colu
     return expr
 
 
-def value_col_name(rule_id: str, expr: str) -> str:
-    # stable name per (rule, source expression)
+def _hashed_col(prefix: str, rule_id: str, key: str) -> str:
+    # stable engine-column name per (rule, key) — one naming scheme for
+    # every pre-projected column family riding the narrow stream
     import hashlib as _h
 
-    return f"_v_{rule_id}_{_h.md5(expr.encode()).hexdigest()[:8]}"
+    return f"{prefix}_{rule_id}_{_h.md5(key.encode()).hexdigest()[:8]}"
+
+
+def value_col_name(rule_id: str, expr: str) -> str:
+    """Pre-evaluated aggregation input (``_v_*``)."""
+    return _hashed_col("_v", rule_id, expr)
 
 
 def emit_col_name(rule_id: str, out_name: str) -> str:
-    """Pre-evaluated ``emit`` output column (O18) riding the narrow
-    correlation stream — needed when the emit rule is guard-gated
+    """Pre-evaluated ``emit`` output column (``_e_*``, O18) riding the
+    narrow correlation stream — needed when the emit rule is guard-gated
     (``map_action`` create/update), because the emission then depends on
     ``_included``, which only exists after sessionize+guards."""
-    import hashlib as _h
-
-    return f"_e_{rule_id}_{_h.md5(out_name.encode()).hexdigest()[:8]}"
+    return _hashed_col("_e", rule_id, out_name)
 
 
 NARROW_BASE = [

@@ -25,24 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
-
-# Persisted subtrees from prior with_global_index calls. Each call
-# persists its repartitioned input so the stats pass and the downstream
-# read share one computation — but the downstream consumption point is
-# invisible from here, so the handle can't be unpersisted eagerly.
-# Instead every call releases the PREVIOUS call's cache (repeated
-# pipelines no longer accumulate cached copies for the app lifetime) and
-# `release_caches()` lets a caller drop the last one explicitly.
-# Unpersisting a still-referenced plan is safe (Spark recomputes).
-_LIVE_CACHES: list[DataFrame] = []
-
-
-def release_caches() -> None:
-    """Unpersist every subtree cached by prior :func:`with_global_index`
-    calls (call after the consuming action completes)."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
 
 
 def with_global_index(
@@ -54,10 +36,20 @@ def with_global_index(
     """Add ``col`` = the row's 0-based rank in the total order given by
     ``order_cols`` (which must be a total order — ties would make the
     index nondeterministic). Triggers one small driver action (one stats
-    row per partition); the input subtree is persisted so the stats pass
-    and the downstream read share one computation. The cache is released
-    by the NEXT call (or :func:`release_caches`)."""
-    release_caches()
+    row per partition).
+
+    The repartitioned subtree is pinned with an EAGER ``localCheckpoint``
+    rather than ``persist``: the collected (partition → offset) stats are
+    only valid for the exact materialization they were read from, and
+    ``repartitionByRange`` samples its boundaries non-deterministically —
+    a cache-evicted or prematurely-unpersisted subtree could silently
+    recompute with a DIFFERENT row→partition assignment and corrupt every
+    index. Checkpointing truncates the lineage, so recomputation is
+    impossible by construction (a lost block fails the job loudly instead
+    of silently mis-indexing), and the blocks are released automatically
+    when the returned frame is garbage-collected — no app-lifetime cache
+    accumulation across repeated pipelines and no explicit release hook
+    for callers to forget."""
     spark = df.sparkSession
     k = num_partitions or spark.sparkContext.defaultParallelism
     part = (
@@ -65,9 +57,8 @@ def with_global_index(
         .sortWithinPartitions(*order_cols)
         .withColumn("_mono", F.monotonically_increasing_id())
         .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    _LIVE_CACHES.append(part)
     stats = sorted(
         part.groupBy("_pid").agg(
             F.count(F.lit(1)).alias("n"), F.min("_mono").alias("m0")

@@ -37,6 +37,22 @@ from logstash_filter_aggregate_spark.operators.correlate import (
 from logstash_filter_aggregate_spark.operators.sessionize import sessionize
 
 
+# Persisted frames (sessions + exception-key sets) from the most recent
+# cache_sessions=True pipeline. A new caching run releases the previous
+# one's handles, so repeated multi-bucket jobs don't accumulate pinned
+# blocks for the app lifetime. Releasing is SAFE here (unlike a
+# range-partitioned index): both frames are deterministic pure functions
+# of their inputs, so a still-lazy consumer of an older pipeline merely
+# recomputes identical rows.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def release_pipeline_caches() -> None:
+    """Unpersist frames cached by prior ``cache_sessions=True`` runs."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
+
 @dataclass
 class PipelineOutputs:
     completed: DataFrame
@@ -271,6 +287,10 @@ def run_pipeline(
     # pre_parsed: the caller already ran parse() (run_multi shares one
     # parse across patterns — the parse stage is the most expensive one,
     # so M patterns must not pay it M times)
+    if cache_sessions:
+        # this run registers fresh persisted frames below — release the
+        # previous caching run's first (never frames from THIS run)
+        release_pipeline_caches()
     parsed = transcripts if pre_parsed else parse(transcripts, groks, backend=parse_backend)
     parsed = enrich(parsed, dims)
     classified = classify(parsed, cfg)
@@ -323,8 +343,11 @@ def run_pipeline(
         tagged_df = tagged_exception_keys(guarded, cfg)
         if cache_sessions:
             # a multi-bucket job consumes the passthrough alongside the
-            # routed buckets — keep the (tiny) key set, not the stage
+            # routed buckets — keep the (tiny) key set, not the stage.
+            # Registered alongside sessions in _LIVE_CACHES (released by
+            # the next caching run).
             tagged_df = tagged_df.persist()
+            _LIVE_CACHES.append(tagged_df)
 
     sessions = aggregate_sessions(guarded, cfg)
     wm_value = None
@@ -333,8 +356,11 @@ def run_pipeline(
         # aggregated sessions are tiny relative to the event stream —
         # persist them so each bucket write doesn't recompute the windows,
         # and materialize the watermark scalar once (scan-only job) so the
-        # bucket plans embed a literal instead of re-scanning the input
+        # bucket plans embed a literal instead of re-scanning the input.
+        # Registered in _LIVE_CACHES; the NEXT caching run (or an explicit
+        # release_pipeline_caches()) releases it.
         sessions = sessions.persist()
+        _LIVE_CACHES.append(sessions)
         wm_value = transcripts.agg(F.max("ts")).first()[0]
     # watermark from the raw input: scan-only (ts column pruned down to
     # the parquet reader), so routing never recomputes the pipeline

@@ -471,20 +471,54 @@ def replay_push_previous(
         )
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from logstash_filter_aggregate_spark.config import TASK_ID_COL
+
         prev = _latest_state(batch_id)
         seed = spark.read.parquet(prev) if prev else None
         classified = classify(parse(batch_df, groks or compile_groks()), cfg)
         corr = inject_seeds(narrow_for_correlation(classified, cfg), seed, cfg)
+        corr = corr.where(
+            F.col(TASK_ID_COL).isNotNull() & F.col("_rule_id").isNotNull()
+        )
         sessions = aggregate_sessions(apply_guards(sessionize(corr, cfg), cfg), cfg)
         sessions = sessions.persist()
         try:
             completed = sessions.where(F.col("close_kind") == "end")
             inline = sessions.where(F.col("close_kind") == "custom0")
             cand = sessions.where(F.col("close_kind").isNull())
-            glast = cand.agg(F.max(F.struct("creation_ts", "task_id")).alias("_g"))
-            cand = cand.crossJoin(F.broadcast(glast)).withColumn(
-                "_last", F.col("_g") == F.struct("creation_ts", "task_id")
-            ).drop("_g")
+            # The carried map is the one live AFTER the batch's LAST row in
+            # arrival order — i.e. the last (ts, conv_id, turn_idx) row's
+            # task, and that task's ordinally-last session. creation_ts is
+            # NOT a valid arrival proxy (two maps created at the same ts
+            # would tie and the lexically-larger task id would wrongly be
+            # carried — and then wrongly merged with its continuation).
+            lr = corr.agg(
+                F.max(
+                    F.struct("ts", "conv_id", "turn_idx", F.col(TASK_ID_COL).alias("t"))
+                ).alias("m")
+            ).first()["m"]
+            mseg = None
+            if lr is not None:
+                seg = F.struct("_end_seg", "_gap_seg", "_age_seg")
+                # mseg can only be None if every row of the last task was
+                # guard-excluded — impossible under push_previous configs
+                # (all rules create_or_update, validated)
+                mseg = (
+                    sessions.where(F.col("task_id") == lr["t"])
+                    .agg(F.max(seg).alias("m")).first()["m"]
+                )
+            if mseg is None:
+                cand = cand.withColumn("_last", F.lit(False))
+            else:
+                # if the last row's session CLOSED (end/custom0), that seg
+                # is not in cand — no live map is carried, correctly
+                cand = cand.withColumn(
+                    "_last",
+                    (F.col("task_id") == F.lit(lr["t"]))
+                    & (F.col("_end_seg") == F.lit(mseg["_end_seg"]))
+                    & (F.col("_gap_seg") == F.lit(mseg["_gap_seg"]))
+                    & (F.col("_age_seg") == F.lit(mseg["_age_seg"])),
+                )
             pushed = _timeout_event(
                 cand.where(~F.col("_last")).drop("_last"), cfg, final_col=None
             ).drop(*seg_drop, "_session_timeout", "_session_inactivity")

@@ -89,6 +89,84 @@ def test_guard_gated_side_effects_prereduce_path(spark):
     _check(out)
 
 
+def test_fuzz_gated_emissions_match_reference_simulator(spark):
+    # randomized guards_end streams with an emitting update rule: the
+    # engine's inline emissions must equal exactly the rows whose
+    # codeblock the reference simulator runs (guard passed, map alive
+    # after expiry-on-arrival). Runs in exact_age_cap mode, so this also
+    # drives the vectorized guarded scan under mixed actions.
+    import datetime as dt
+    import random
+
+    from logstash_filter_aggregate_spark.config import AggSpec
+    from tests.conftest import T0
+    from tests.test_fuzz_reference import _LINES, _scenario_rows
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        exact_age_cap=True,
+        rules=(
+            CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+            CorrelationRule(
+                "sql", "logger = 'SQL'", map_action="update",
+                aggs=(AggSpec("val_sum", "sum", "coalesce(duration, 0)"),),
+                emit={"uid": "taskid", "v": "duration"},
+            ),
+            CorrelationRule("end", "logger = 'TASK_END'", map_action="update", end_of_task=True),
+        ),
+        timeout=250.0,
+        inactivity_timeout=250.0,
+        push_map_as_event_on_timeout=True,
+    )
+
+    def emitted_rows(rows):
+        # the simulator's state walk, recording each sql row whose code ran
+        st = None
+        out = []
+        for kind, ts, val in rows:
+            if kind not in ("start", "sql", "end"):
+                continue
+            if st is not None and (
+                ts - st["creation"] > 250.0 or ts - st["last"] > 250.0
+            ):
+                st = None
+            if st is None:
+                if kind in ("sql", "end"):
+                    continue  # update with no map: no code (aggregate.rb:203)
+                st = dict(creation=ts, last=ts)
+            elif kind == "start":
+                continue  # duplicate create: no code (aggregate.rb:216)
+            st["last"] = ts
+            if kind == "sql":
+                out.append(val)
+            if kind == "end":
+                st = None
+        return sorted(out)
+
+    rng = random.Random(20260817)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    streams = {
+        f"ge{i:02d}": _scenario_rows(rng, ["start", "sql", "end"], n_max=40)
+        for i in range(25)
+    }
+    data = []
+    for tid, rows in streams.items():
+        for j, (kind, ts, val) in enumerate(rows):
+            data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                         "none", T0 + dt.timedelta(seconds=ts)))
+    df = spark.createDataFrame(data, schema).repartition(5)
+    out = run_pipeline(spark, df, cfg)
+    got: dict[str, list] = {tid: [] for tid in streams}
+    for r in out.inline.collect():
+        got[r.uid].append(r.v)
+    n_checked = 0
+    for tid, rows in streams.items():
+        exp = emitted_rows(rows)
+        assert sorted(got[tid]) == exp, (tid, rows, sorted(got[tid]), exp)
+        n_checked += len(exp)
+    assert n_checked > 50  # the fuzz actually exercised emissions
+
+
 def test_ungated_rules_unchanged(spark):
     # a create_or_update emit rule fires for every matched row with a
     # resolved task id — the pre-existing (ungated) behavior

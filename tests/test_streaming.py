@@ -332,6 +332,60 @@ def test_replay_push_previous_matches_batch(spark, tmp_path):
     assert [r.uid for r in got if r.final_flush] == ["A"]
 
 
+def test_replay_push_previous_creation_tie(spark, tmp_path):
+    # two maps created at the SAME ts in one batch: the carried map must
+    # be the one live after the ARRIVAL-order last row (A, turn 1), not
+    # the lexically-larger task id (Z) — carrying Z would wrongly merge
+    # it with its continuation in the next batch
+    import glob
+    import os
+    import shutil
+
+    from logstash_filter_aggregate_spark.config import AggSpec, CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import replay_push_previous
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "click", "click_target is not null",
+                aggs=(AggSpec("clicks", "count"),),
+            ),
+        ),
+        timeout=1e9,
+        push_previous_map_as_event=True,
+        push_previous_exact=True,
+        timeout_task_id_field="uid",
+    )
+    slices = [
+        [(0, "INFO - Z - Clicked One", 100), (1, "INFO - A - Clicked One", 100)],
+        [(2, "INFO - Z - Clicked One", 101)],
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    for i, rows in enumerate(slices):
+        tmp = str(tmp_path / f"slice{i}")
+        make_transcript(spark, rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{in_dir}/{chr(97 + i)}.parquet"
+        shutil.copy(glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    base = str(tmp_path / "out")
+    replay_push_previous(
+        spark, in_dir, cfg, base, str(tmp_path / "cp"), max_files_per_trigger=1
+    )
+    rows = spark.read.parquet(f"{base}/timeout").select(
+        "uid", "nevents", F.array_contains("tags", "_aggregatefinalflush").alias("ff")
+    ).collect()
+    got = sorted((r.uid, r.nevents, r.ff) for r in rows)
+    expect = run_pipeline(spark, spark.read.parquet(in_dir), cfg).timeout.select(
+        "uid", "nevents", F.array_contains("tags", "_aggregatefinalflush").alias("ff")
+    ).collect()
+    assert got == sorted((r.uid, r.nevents, r.ff) for r in expect)
+    # three single-event maps — NO wrongly-merged (Z, 2) map
+    assert got == [("A", 1, False), ("Z", 1, False), ("Z", 1, True)]
+
+
 def test_streaming_inline_emissions(spark, tmp_path):
     # O18 over a stream: stateless emissions for create_or_update rules
     from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
