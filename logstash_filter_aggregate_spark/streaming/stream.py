@@ -122,6 +122,10 @@ def _agg_value_col(rule_id: str, name: str) -> str:
     return f"_v_{rule_id}_{name}"
 
 
+def _emit_value_col(rule_id: str, name: str) -> str:
+    return f"_em_{rule_id}_{name}"
+
+
 def _make_stateful_fn(cfg: PipelineConfig):
     """Build the per-key stateful function: the reference's filter() hot
     path (aggregate.rb:179-255) over one task's micro-batch rows. Agg
@@ -135,6 +139,10 @@ def _make_stateful_fn(cfg: PipelineConfig):
             has_custom_timeout=r.custom_timeout is not None,
             has_custom_inactivity=r.custom_inactivity_timeout is not None,
             aggs=[(s.name, s.fn, _agg_value_col(r.rule_id, s.name) if s.col else None) for s in r.aggs],
+            # new_event_block emissions (O18): fire exactly where the code
+            # runs — the state walk below IS the guard decision, so gated
+            # emit rules work here (unlike the stateless projection form)
+            emits=[(n, _emit_value_col(r.rule_id, n)) for n in (r.emit or {})],
         )
         for r in cfg.rules
     ]
@@ -243,6 +251,24 @@ def _make_stateful_fn(cfg: PipelineConfig):
                         if fnm == "collect_list" or v not in lst:
                             lst.append(v)
                 st["map_json"] = json.dumps(m, default=str)
+                if rule["emits"]:
+                    # the codeblock ran for this row: emit its
+                    # new_event_block payload (sink='emit', values in
+                    # map_json) — guard-suppressed rows never reach here
+                    payload = {
+                        n: (v.item() if hasattr(v, "item") else v)
+                        for n, c in rule["emits"]
+                        for v in [row.get(c)]
+                    }
+                    out_rows.append(
+                        dict(
+                            task_id=task_id, sink="emit",
+                            creation_ts=pd.Timestamp(st["creation_ts"], unit="s").round("us"),
+                            lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s").round("us"),
+                            nevents=st["nevents"],
+                            map_json=json.dumps(payload, default=str),
+                        )
+                    )
                 ct = row.get("_custom_timeout") if rule["has_custom_timeout"] else None
                 ci = row.get("_custom_inactivity") if rule["has_custom_inactivity"] else None
                 ct = None if ct is None or ct != ct else float(ct)
@@ -291,6 +317,9 @@ def streaming_correlate(
     value_cols = [
         F.expr(sp.col).alias(_agg_value_col(r.rule_id, sp.name))
         for r in cfg.rules for sp in r.aggs if sp.col
+    ] + [
+        F.expr(e).alias(_emit_value_col(r.rule_id, n))
+        for r in cfg.rules for n, e in (r.emit or {}).items()
     ]
     # Heartbeat rows (conv_id == HEARTBEAT_CONV, matching no rule) pass
     # the match filter so they can advance the event-time watermark —
@@ -319,7 +348,7 @@ def streaming_correlate(
     )
 
 
-STREAM_SINKS = ("completed", "timeout", "inline")
+STREAM_SINKS = ("completed", "timeout", "inline", "emit")
 # reserved conv_id for replay_routed's watermark-advancing sentinel rows
 HEARTBEAT_CONV = "__heartbeat__"
 
@@ -379,7 +408,9 @@ def streaming_inline_emissions(stream_df: DataFrame, cfg: PipelineConfig, groks=
     if gated:
         raise ConfigurationError(
             f"streaming inline emissions require map_action='create_or_update' "
-            f"for emit rules (guard-gated: {gated})"
+            f"for emit rules (guard-gated here: {gated}); gated emit rules ARE "
+            f"supported by streaming_correlate — read its sink='emit' rows "
+            f"(payload in map_json), emitted exactly where the codeblock runs"
         )
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)

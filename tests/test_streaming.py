@@ -439,6 +439,63 @@ def test_streaming_inline_emissions(spark, tmp_path):
         streaming_inline_emissions(src, gated)
 
 
+def test_streaming_gated_emissions_match_batch(spark, tmp_path):
+    # guard-gated emit rules through the STATEFUL streaming engine: the
+    # state walk makes the guard decision, so sink='emit' rows fire
+    # exactly where the batch engine emits (update-before-create and
+    # duplicate-create rows suppressed)
+    import json as _json
+
+    from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule(
+                "start", "logger = 'TASK_START'", map_action="create",
+                emit={"s": "taskid"},
+            ),
+            CorrelationRule(
+                "err", "err_tool is not null", map_action="update",
+                emit={"uid": "taskid", "code": "err_code"},
+            ),
+        ),
+        timeout=1e9,
+    )
+    rows = [
+        (0, "ERROR - u1 - TOOL - http - E503", 0),   # before start: no emit
+        (1, "INFO - u1 - TASK_START - start", 1),    # creates -> start emits
+        (2, "INFO - u1 - TASK_START - start", 2),    # duplicate: no emit
+        (3, "ERROR - u1 - TOOL - http - E504", 3),   # included: emits
+        (4, "ERROR - u1 - TOOL - http - E700", 4),   # included: emits
+    ]
+    p = str(tmp_path / "in")
+    make_transcript(spark, rows).write.parquet(p)
+    schema = spark.read.parquet(p).schema
+    src = (
+        spark.readStream.schema(schema).parquet(p)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_correlate(src, cfg)
+    name = "st_gated_emit"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    emitted = [
+        _json.loads(r.map_json)
+        for r in spark.table(name).where("sink = 'emit'").collect()
+    ]
+    key = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted(((e.get("uid"), e.get("code"), e.get("s")) for e in emitted), key=key)
+    batch = run_pipeline(spark, spark.read.parquet(p), cfg)
+    expect = sorted(((r.uid, r.code, r.s) for r in batch.inline.collect()), key=key)
+    assert got == expect
+    assert got == [("u1", 504, None), ("u1", 700, None), (None, None, "u1")]
+
+
 def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):
     # the randomized reference-semantics fuzz, replayed through the
     # STREAMING engine: per-event state machine vs the independent
