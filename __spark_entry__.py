@@ -586,7 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return flagged.groupBy(F.col(TASK_ID_COL).alias("user_id")).agg(
             F.sum((F.col("_age_seg") > 0).cast("int")).cast("long").alias("n_past_age_cap")
         )
-    q["o09_age_cap_flags"] = o09
+    q["o09_single_pass_age_flags"] = o09  # certifies the passes=1 window flags ONLY; the default 2-pass and exact modes are o09b/o09c
 
     # --- O9 default path: the engine-default 2-pass iterated suffix split
     # (gap + age interplay) — certified against a 2-pass SQL oracle
@@ -820,17 +820,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dd_ngram_jaccard"] = dd_jaccard
 
+    def _flood_guard(cand, base, mult: float, sentinel: list):
+        """Precision bound for the LSH property oracles: the recall checks
+        (candidates ∩ exact relation == exact relation) cannot catch a
+        regression that FLOODS candidates (e.g. a banding bug making every
+        pair a candidate) — an all-pairs candidate set trivially contains
+        the exact relation. This guard emits one SENTINEL row iff
+        count(candidates) > mult * count(base rows); the sentinel is
+        unioned into the compared result, so a flood breaks the oracle's
+        row/hash match instead of passing silently. Bounds are
+        proportional to the corpus (candidates should be ~O(n) for
+        near-dup structure, never O(n^2)): measured candidate counts at
+        sf0.001/0.01 sit >5x under each bound, an all-pairs flood sits
+        >15x above it."""
+        breach = (
+            cand.agg(F.count(F.lit(1)).alias("_nc"))
+            .crossJoin(base.agg(F.count(F.lit(1)).alias("_nb")))
+            .where(F.col("_nc") > F.lit(mult) * F.col("_nb"))
+        )
+        return breach.select(*sentinel)
+
     def dd_minhash(spark, sf):
         # property oracle: with 16 bands of 1 row, the per-pair miss
         # probability at jaccard >= 0.6 is (1-0.6)^16 ~= 4e-7, so LSH
         # candidates ∩ exact-jaccard >= 0.6 must equal the exact pair set
-        # (recall check); the inner join bounds precision by construction.
+        # (recall check); the inner join bounds the RESULT's precision by
+        # construction, and the _flood_guard bounds the candidate count
+        # itself (measured ~1.6k candidates on 500 docs; bound 20x docs).
         d = _docs(spark, sf)
         cand = dedup.minhash_lsh_candidates(d, k=3, num_hashes=16, bands=16, max_bucket=4096)
         exact = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6)
+        guard = _flood_guard(cand, d, 20.0, [
+            F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1.0).alias("jaccard"),
+        ])
         return cand.join(exact, ["id_a", "id_b"]).select(
             "id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard")
-        )
+        ).unionByName(guard)
     q["dd_minhash_lsh"] = dd_minhash
 
     def dd_simhash(spark, sf):
@@ -850,9 +876,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = a.join(
             b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        guard = _flood_guard(cand, alld, 10.0, [
+            F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1).cast("long").alias("hamming"),
+        ])  # measured ~0.9k candidates on 505 docs; bound 10x docs
         return cand.join(exact, ["id_a", "id_b"]).select(
             "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-        )
+        ).unionByName(guard)
     q["dd_simhash"] = dd_simhash
 
     # --- similarity family
@@ -880,7 +910,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         allv = emb.select("vec_id", "embedding").unionByName(planted)
         out = similarity.lsh_topk(allv, qv, k=6, max_hamming=0)
-        return out.select("vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim"))
+        # precision bound: rebuild the radius-0 candidate set with the
+        # same construction lsh_topk uses and require it to stay a small
+        # fraction of the corpus — a signature collapse (constant
+        # hyperplane sig => every row a candidate) would otherwise still
+        # return the correct top-k and pass the recall oracle silently
+        sig = similarity.hyperplane_signature(F.col("embedding"), 16, len(qv))
+        qsig = spark.range(1).select(
+            similarity.hyperplane_signature(qcol, 16, len(qv)).alias("qsig")
+        )
+        cand = (
+            allv.withColumn("_sig", sig)
+            .crossJoin(F.broadcast(qsig))
+            .where(F.col("_sig") == F.col("qsig"))
+        )
+        guard = _flood_guard(cand, allv, 0.1, [
+            F.lit(-1).cast("long").alias("vec_id"), F.lit(-1.0).alias("cos_sim"),
+        ])
+        return out.select(
+            "vec_id", F.round("cos_sim", 4).cast("double").alias("cos_sim")
+        ).unionByName(guard)
     q["sim_lsh_topk"] = sim_lsh
 
     def sim_ivf(spark, sf):
@@ -888,7 +937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment (max-cosine centroid) is scale-invariant, so planted
         # scaled copies of the query land in the query's own cell — the
         # rank-1 probe — and the exact rank over probed candidates must
-        # return exactly the cosine-1.0 set.
+        # return exactly the cosine-1.0 set. (No separate flood guard:
+        # the candidate set is structurally n_probe/n_cells of the corpus
+        # by construction, and a broken cell assignment fails the recall
+        # check above — the planted copies would miss the probed cell.)
         emb = _emb(spark, sf)
         qv = _query_vec(spark, sf)
         qcol = F.array(*[F.lit(float(v)) for v in qv])
@@ -923,9 +975,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("a.embedding") == F.col("b.embedding"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        guard = _flood_guard(pairs, allv, 1.0, [
+            F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
+            F.lit(-1.0).alias("cos_sim"),
+        ])  # verified pairs at cos>=0.99 must stay O(n): measured 5 on 505 vecs
         return pairs.join(exact, ["id_a", "id_b"]).select(
             "id_a", "id_b", F.round("cos_sim", 4).cast("double").alias("cos_sim")
-        )
+        ).unionByName(guard)
     q["sim_embedding_near_dup"] = sim_neardup
 
     # --- text analysis family
@@ -1151,7 +1207,7 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS nevents, min(ts) AS creation_ts
         FROM e GROUP BY user_id, instance
     """
-    o["o09_age_cap_flags"] = f"""
+    o["o09_single_pass_age_flags"] = f"""
         WITH e AS (
           SELECT user_id, extract(epoch FROM ts) AS tsec,
                  min(extract(epoch FROM ts)) OVER (PARTITION BY user_id) AS creation

@@ -146,7 +146,9 @@ BASE_PATTERNS: dict[str, str] = {
     "JAVAFILE": r"[A-Za-z0-9_. -]+",
     "JAVAMETHOD": r"(?:<(?:cl)?init>|[a-zA-Z$_][a-zA-Z$_0-9]*)",
     # base-dictionary completion (the remaining public base-file names)
-    "BOOLEAN": r"(?:[Tt]rue|TRUE|[Ff]alse|FALSE)",
+    # upstream grok-patterns BOOLEAN is fully case-insensitive
+    # ((?i)true|false); scoped (?i:...) works in both regex dialects
+    "BOOLEAN": r"(?i:true|false)",
     "URN": r"urn:[0-9A-Za-z][0-9A-Za-z-]{0,31}:(?:%[0-9A-Fa-f]{2}|[0-9A-Za-z()+,.:=@;$_!*'/?#-])+",
     # java family long tail
     "JAVATHREAD": r"(?:[A-Z]{2}-Processor\d+)",

@@ -167,6 +167,55 @@ def tagged_exception_keys(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def passthrough_shared_subtree(
+    classified: DataFrame,
+    cfg: PipelineConfig,
+    open_maps: DataFrame | None,
+    gated_cancel: bool,
+    gated_ids: list[str],
+) -> DataFrame:
+    """Single-job passthrough for guard-gated configs without
+    ``cache_sessions``: the classified stream is lazily
+    ``localCheckpoint``-ed, so the guard-resolution build side and the
+    passthrough main stage read the SAME materialized blocks — ONE parse
+    per passthrough job (the round-3 shape planned an independent second
+    correlation subtree as the broadcast build side, re-running
+    scan+parse+windows and doubling the job cost).
+
+    Measured at sf0.1/local[32] (3M turns, example1 config, best-of-2
+    steady): this shape 7.6s vs 10.8s for the round-3 double-compute,
+    13.8s for inclusion windows inlined into the full-width stream (the
+    wide rows drag text through ~8 sequential Window nodes), 8.5s for a
+    columnar ``persist`` of the parsed frame (cache-build cost).
+
+    Scale notes: the checkpoint materializes the parsed stream once to
+    executor-local storage — the same magnitude of local I/O as one
+    full-stream shuffle leg, with no network. ``localCheckpoint``
+    truncates lineage, so a lost executor fails the job instead of
+    recomputing (the documented tradeoff ``operators/order.py`` already
+    makes); multi-bucket jobs should prefer ``cache_sessions=True``,
+    which keeps the passthrough scan-shaped against a persisted NARROW
+    correlated frame (correlation materializes once for the whole job
+    set, and text never leaves the scan).
+    """
+    from logstash_filter_aggregate_spark.operators.correlate import narrow_for_correlation
+    from logstash_filter_aggregate_spark.plans.resume import inject_seeds
+
+    ck = classified.localCheckpoint(eager=False)
+    correlated_in = inject_seeds(narrow_for_correlation(ck, cfg), open_maps, cfg)
+    guarded = apply_guards(sessionize(correlated_in, cfg), cfg)
+    if gated_cancel:
+        # cancellation needs per-row inclusion for EVERY matched row of
+        # the gated rules (not just the rare null ones) — a row-key join,
+        # both sides reading the checkpointed blocks
+        incl_df = guarded.where(F.col("_rule_id").isin(gated_ids)).select(
+            "conv_id", "turn_idx", F.col("_included").alias("_g_included")
+        )
+        return passthrough_stream(ck, cfg, incl_df=incl_df)
+    tagged_df = tagged_exception_keys(guarded, cfg)
+    return passthrough_stream(ck, cfg, tagged_df=tagged_df)
+
+
 def passthrough_stream(
     classified: DataFrame,
     cfg: PipelineConfig,
@@ -188,11 +237,13 @@ def passthrough_stream(
       pre-decided exception keys broadcast onto the stream — the
       passthrough stays scan-shaped (zero event-stream shuffle); the
       build side re-runs the narrow correlation stage once.
-    - ``incl_df`` (gated CANCEL rules, or the prereduce path): full
+    - ``incl_df`` (the prereduce path, or gated CANCEL rules): full
       per-row inclusion ``(conv_id, turn_idx, _g_included)`` joined on
-      the row key — one extra exchange of the passthrough stream;
-      unavoidable, since cancellation must decide for EVERY matched row,
-      not just the rare null ones.
+      the row key — one extra exchange of the passthrough stream.
+
+    Without ``cache_sessions``, :func:`passthrough_shared_subtree` wraps
+    this so both deliveries read a lazily checkpointed classified stream
+    (one parse per job).
     """
     df = classified
     if incl_df is not None:
@@ -318,6 +369,19 @@ def run_pipeline(
 
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
+    if cache_sessions:
+        # a multi-bucket job consumes several routed buckets AND the
+        # passthrough: persist the NARROW correlated frame so the
+        # correlation stage (parse -> task exchange -> windows)
+        # materializes exactly once across the whole job set — the session
+        # aggregation, the gated-tag key set, and the gated-cancel
+        # inclusion frame all read the persisted rows. Narrow = engine
+        # cols + pre-evaluated agg inputs only (no text), so the persist
+        # footprint is a small fraction of the input even at cluster
+        # scale. Registered in _LIVE_CACHES (released by the next caching
+        # run or release_pipeline_caches()).
+        guarded = guarded.persist()
+        _LIVE_CACHES.append(guarded)
 
     # per-row inclusion for gated code side-effects (see the
     # passthrough_stream docstring for the cost model of each delivery).
@@ -326,11 +390,18 @@ def run_pipeline(
     # under prereduce's own no-mid-segment-expiry precondition).
     incl_df = None
     tagged_df = None
+    shared_pt = False
     if prereduce_s is not None:
         if gated_emit or gated_cancel or gated_req:
             from logstash_filter_aggregate_spark.operators.skew import guard_inclusion_frame
 
             incl_df = guard_inclusion_frame(classified, cfg)
+    elif (gated_cancel or gated_req) and not cache_sessions:
+        # single-consumer default: the passthrough checkpoints the
+        # classified stream lazily and derives both the guard resolution
+        # and the main stage from it (passthrough_shared_subtree) — one
+        # parse per job, no second correlation subtree
+        shared_pt = True
     elif gated_cancel:
         gated_ids = [
             r.rule_id for r in gated
@@ -342,23 +413,20 @@ def run_pipeline(
     elif gated_req:
         tagged_df = tagged_exception_keys(guarded, cfg)
         if cache_sessions:
-            # a multi-bucket job consumes the passthrough alongside the
-            # routed buckets — keep the (tiny) key set, not the stage.
-            # Registered alongside sessions in _LIVE_CACHES (released by
-            # the next caching run).
+            # the key set is tiny — persist it too, so each passthrough
+            # consumer broadcasts the rows instead of re-filtering the
+            # (persisted) guarded frame
             tagged_df = tagged_df.persist()
             _LIVE_CACHES.append(tagged_df)
 
     sessions = aggregate_sessions(guarded, cfg)
     wm_value = None
     if cache_sessions:
-        # when several buckets are materialized (routed sink writes), the
-        # aggregated sessions are tiny relative to the event stream —
-        # persist them so each bucket write doesn't recompute the windows,
-        # and materialize the watermark scalar once (scan-only job) so the
-        # bucket plans embed a literal instead of re-scanning the input.
-        # Registered in _LIVE_CACHES; the NEXT caching run (or an explicit
-        # release_pipeline_caches()) releases it.
+        # the aggregated sessions are tiny relative to the event stream —
+        # persist them so each bucket write doesn't recompute the final
+        # aggregation, and materialize the watermark scalar once
+        # (scan-only job) so the bucket plans embed a literal instead of
+        # re-scanning the input.
         sessions = sessions.persist()
         _LIVE_CACHES.append(sessions)
         wm_value = transcripts.agg(F.max("ts")).first()[0]
@@ -382,10 +450,20 @@ def run_pipeline(
         timeout=routed.timeout,
         inline=inline,
         open=routed.open,
-        passthrough=passthrough_stream(
-            classified, cfg,
-            incl_df=incl_df if (gated_cancel or gated_req) else None,
-            tagged_df=tagged_df,
+        passthrough=(
+            passthrough_shared_subtree(
+                classified, cfg, open_maps, gated_cancel,
+                [
+                    r.rule_id for r in gated
+                    if r.cancel or any(s.required and s.col for s in r.aggs)
+                ],
+            )
+            if shared_pt
+            else passthrough_stream(
+                classified, cfg,
+                incl_df=incl_df if (gated_cancel or gated_req) else None,
+                tagged_df=tagged_df,
+            )
         ),
         sessions=routed.sessions,
     )

@@ -36,6 +36,15 @@ from logstash_filter_aggregate_spark.config import PipelineConfig
 from logstash_filter_aggregate_spark.operators.classify import classify
 from logstash_filter_aggregate_spark.plans.pipeline import compile_groks, parse
 
+
+def _is_nullish(v) -> bool:
+    """True for NaN/NaT (self-inequality) — the pandas null family that
+    must become JSON null, not a NaN token or a stringified 'NaT'."""
+    try:
+        return bool(v != v)
+    except (TypeError, ValueError):
+        return False
+
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("creation_ts", T.DoubleType()),
@@ -234,7 +243,7 @@ def _make_stateful_fn(cfg: PipelineConfig):
                     v = row.get(col) if col else None
                     if fnm == "count":
                         m[name] = m.get(name, 0) + 1
-                    elif v is None or (isinstance(v, float) and v != v):
+                    elif v is None or _is_nullish(v):
                         continue
                     elif fnm == "sum":
                         m[name] = m.get(name, 0) + v
@@ -255,8 +264,15 @@ def _make_stateful_fn(cfg: PipelineConfig):
                     # the codeblock ran for this row: emit its
                     # new_event_block payload (sink='emit', values in
                     # map_json) — guard-suppressed rows never reach here
+                    # None/NaN/NaT normalize to real JSON null (batch
+                    # inline emissions carry SQL nulls; pandas NaN would
+                    # survive json.dumps as a non-standard NaN token and
+                    # NaT would stringify via default=str)
                     payload = {
-                        n: (v.item() if hasattr(v, "item") else v)
+                        n: (
+                            None if v is None or _is_nullish(v)
+                            else (v.item() if hasattr(v, "item") else v)
+                        )
                         for n, c in rule["emits"]
                         for v in [row.get(c)]
                     }
@@ -582,17 +598,26 @@ def replay_push_previous(
 
     # final flush (O20): push the carried live map with the final tag
     last = _latest_state(1 << 62)
+    final_dir = f"{base_path}/timeout/batch_id=final"
     if last is not None:
+        # ALWAYS rewrite the final dir — even when no live map is carried
+        # (zero rows), so an incremental re-run never leaves a previous
+        # invocation's final-flush rows behind to be double-counted by
+        # sink readers
         live = spark.read.parquet(last)
-        if live.count() > 0:
-            sessions_like = (
-                live.withColumnRenamed("map_custom_timeout", "_session_timeout")
-                .withColumnRenamed("map_custom_inactivity", "_session_inactivity")
-                .withColumn("_final", F.lit(True))
-            )
-            _timeout_event(sessions_like, cfg, final_col="_final").drop(
-                "_final", "_session_timeout", "_session_inactivity"
-            ).write.mode("overwrite").parquet(f"{base_path}/timeout/batch_id=final")
+        sessions_like = (
+            live.withColumnRenamed("map_custom_timeout", "_session_timeout")
+            .withColumnRenamed("map_custom_inactivity", "_session_inactivity")
+            .withColumn("_final", F.lit(True))
+        )
+        _timeout_event(sessions_like, cfg, final_col="_final").drop(
+            "_final", "_session_timeout", "_session_inactivity"
+        ).write.mode("overwrite").parquet(final_dir)
+    elif os.path.isdir(final_dir):
+        # no state at all this run: drop any stale final dir
+        import shutil
+
+        shutil.rmtree(final_dir, ignore_errors=True)
 
 
 def replay_routed(
@@ -625,6 +650,15 @@ def replay_routed(
     rewritten with ``overwrite`` each call, so repeated replays never
     accumulate sentinels (the horizon is always computed from the real
     corpus, not from a previous sentinel).
+
+    **Checkpoint compatibility**: this two-source union shape is pinned
+    by the checkpoint from the FIRST cycle. A checkpoint created by an
+    older single-source build of this function cannot be resumed (Spark
+    rejects a changed streaming-source count) — use a fresh
+    ``checkpoint`` directory when upgrading; likewise delete any
+    sentinel file an older build appended INSIDE ``input_dir`` (current
+    builds never write there, but a leftover one would be re-read as
+    data).
     """
     import re as _re
 

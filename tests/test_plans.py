@@ -85,12 +85,13 @@ def test_dim_join_broadcasts(spark, transcripts_path):
 
 
 def test_guard_gated_passthrough_plan_shapes(spark, transcripts_path):
-    # Gated REQUIRED-agg rules (example1's update rule): the exception
-    # keys broadcast onto the passthrough — the event stream itself must
-    # NOT shuffle (no SortMergeJoin / no hash exchange on the stream's
-    # row key). Gated CANCEL rules: per-row inclusion is unavoidable —
-    # the row-key join is the documented cost, and it must be the ONLY
-    # reason a shuffle appears.
+    # Guard-gated configs (example1's update rule, cancel rules): the
+    # single-consumer passthrough reads a lazily CHECKPOINTED classified
+    # stream shared by the guard-resolution build side and the main
+    # stage (passthrough_shared_subtree) — the job parses the input
+    # exactly once; the round-3 shape planned an independent second
+    # correlation subtree as the broadcast build side, re-running
+    # scan+parse and doubling the job cost.
     from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
 
     t = spark.read.parquet(transcripts_path)
@@ -99,6 +100,9 @@ def test_guard_gated_passthrough_plan_shapes(spark, transcripts_path):
     )
     assert "SortMergeJoin" not in tagged_plan, tagged_plan
     assert "BroadcastHashJoin" in tagged_plan, tagged_plan
+    # no parquet scan anywhere: every leg reads the checkpointed blocks
+    assert "Scan parquet" not in tagged_plan, tagged_plan
+    assert tagged_plan.count("Scan ExistingRDD") >= 2, tagged_plan
 
     cancel_cfg = PipelineConfig(
         task_id="%{taskid}",
@@ -108,16 +112,47 @@ def test_guard_gated_passthrough_plan_shapes(spark, transcripts_path):
         ),
         timeout=3600.0,
     )
-    # the guard-resolution window subtree must feed the join (whether the
-    # planner picks SMJ or, with small stats, a broadcast)
+    # cancellation joins per-row inclusion (whatever join the planner
+    # picks), but both sides still read the one checkpointed stream
     cancel_plan = _plan(run_pipeline(spark, t, cancel_cfg).passthrough)
     assert "Join" in cancel_plan and "Window" in cancel_plan, cancel_plan
+    assert "Scan parquet" not in cancel_plan, cancel_plan
 
-    # ungated configs plan no join at all on the passthrough
+    # ungated configs plan no join and no window at all on the passthrough
     plain_plan = _plan(
         run_pipeline(spark, t, example3_config(timeout=600.0)).passthrough
     )
     assert "Join" not in plain_plan, plain_plan
+    assert "Window" not in plain_plan, plain_plan
+
+
+def test_guard_gated_cached_job_set_runs_correlation_once(spark, transcripts_path):
+    # Multi-bucket jobs (cache_sessions=True): the narrow correlated
+    # frame is persisted, so the correlation stage materializes ONCE
+    # across the whole job set — the passthrough then stays scan-shaped,
+    # broadcasting the (persisted) exception-key set: one parquet scan,
+    # no Window, the build side an in-memory read.
+    from logstash_filter_aggregate_spark.plans.pipeline import release_pipeline_caches
+
+    t = spark.read.parquet(transcripts_path)
+    out = run_pipeline(spark, t, example1_config(timeout=3600.0), cache_sessions=True)
+    try:
+        out.sessions.count()  # materializes the persisted correlation once
+        pt_plan = _plan(out.passthrough)
+        assert "BroadcastHashJoin" in pt_plan, pt_plan
+        assert "InMemoryTableScan" in pt_plan, pt_plan
+        # the stream side (everything before the in-memory build side) is
+        # scan-shaped: one parquet scan, no correlation windows —
+        # InMemoryTableScan's printed CACHED plan repeats the correlation
+        # subtree's scans, so only the prefix is the live stream plan
+        stream_side = pt_plan.partition("InMemoryTableScan")[0]
+        assert stream_side.count("Scan parquet") == 1, pt_plan
+        assert "Window" not in stream_side, pt_plan
+        # the sessions aggregation reads the same persisted frame
+        sess_plan = _plan(out.sessions)
+        assert "InMemoryTableScan" in sess_plan, sess_plan
+    finally:
+        release_pipeline_caches()
 
 
 def test_no_cartesian_or_nested_loop_in_pipeline(spark, transcripts_path):
