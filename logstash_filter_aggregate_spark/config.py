@@ -21,6 +21,19 @@ class ConfigurationError(ValueError):
     (``aggregate.rb:86-133``)."""
 
 
+class GuardedWindowModeWarning(UserWarning):
+    """Config-time disclosure of the one known default-mode divergence
+    from the reference (STATUS.md "Known divergences"): in the default
+    window-based sessionization, the inactivity-gap clock counts every
+    matched row — including rows the map-action guards later discard — so
+    a duplicate ``create`` (or an ``update`` with no live map) refreshes
+    the gap clock, where the reference returns BEFORE touching
+    ``lastevent_timestamp`` (``aggregate.rb:216``/``:203`` precede
+    ``:220``). Set ``exact_age_cap=True`` to replay the reference's
+    per-event ordering exactly (the vectorized guarded scan keeps that
+    tier O(sessions·log n), not per-row Python)."""
+
+
 _TASK_ID_REF = re.compile(r"%\{([A-Za-z_][A-Za-z0-9_]*)\}")
 
 # The aggregation dictionary replacing the reference's eval'd `code`
@@ -187,6 +200,26 @@ class PipelineConfig:
             # discard the run-break splits
             raise ConfigurationError(
                 "push_previous_exact cannot be combined with exact_age_cap"
+            )
+        if (
+            self.timeout_timestamp_field is not None
+            and not self.exact_age_cap
+            and any(r.map_action != "create_or_update" for r in self.rules)
+        ):
+            # guarded config in event-time mode on the default window
+            # sessionizer: disclose the guard/gap-clock divergence once
+            # per process (see GuardedWindowModeWarning)
+            import warnings
+
+            warnings.warn(
+                "guarded map_action rules with the default window-mode "
+                "sessionization: rows discarded by the guards (duplicate "
+                "create / no-map update) still refresh the inactivity-gap "
+                "clock, diverging from the reference on that corner "
+                "(aggregate.rb:216/:203 return before :220). Set "
+                "exact_age_cap=True for reference-exact replay.",
+                GuardedWindowModeWarning,
+                stacklevel=2,
             )
 
     @property

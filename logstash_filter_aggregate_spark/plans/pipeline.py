@@ -369,17 +369,19 @@ def run_pipeline(
 
     sessionized = sessionize(correlated_in, cfg)
     guarded = apply_guards(sessionized, cfg)
-    if cache_sessions:
-        # a multi-bucket job consumes several routed buckets AND the
-        # passthrough: persist the NARROW correlated frame so the
+    if cache_sessions and (gated_req or gated_cancel):
+        # a multi-bucket GATED job consumes the guarded frame twice: the
+        # session aggregation AND the gated-tag key set / cancel
+        # inclusion frame. Persist the NARROW correlated frame so the
         # correlation stage (parse -> task exchange -> windows)
-        # materializes exactly once across the whole job set — the session
-        # aggregation, the gated-tag key set, and the gated-cancel
-        # inclusion frame all read the persisted rows. Narrow = engine
-        # cols + pre-evaluated agg inputs only (no text), so the persist
-        # footprint is a small fraction of the input even at cluster
-        # scale. Registered in _LIVE_CACHES (released by the next caching
-        # run or release_pipeline_caches()).
+        # materializes exactly once across the whole job set. Narrow =
+        # engine cols + pre-evaluated agg inputs only (no text), so the
+        # persist footprint is a small fraction of the input even at
+        # cluster scale. Ungated configs skip this — only the (tiny,
+        # separately persisted) sessions frame is re-read there, and
+        # caching the event stream would be pure overhead. Registered in
+        # _LIVE_CACHES (released by the next caching run or
+        # release_pipeline_caches()).
         guarded = guarded.persist()
         _LIVE_CACHES.append(guarded)
 

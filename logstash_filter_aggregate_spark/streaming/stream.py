@@ -446,6 +446,214 @@ def streaming_inline_emissions(stream_df: DataFrame, cfg: PipelineConfig, groks=
     return df
 
 
+_PT_ENGINE_COLS = (
+    "_rule_id", "_task_id", "_end_flag", "_action", "_cancel",
+    "_custom_timeout", "_custom_inactivity",
+)
+
+
+def streaming_passthrough(
+    stream_df: DataFrame,
+    cfg: PipelineConfig,
+    groks=None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """O19 + U3 over a stream — the streaming parity of the batch
+    ``passthrough_stream``: every non-cancelled event continues
+    downstream (``aggregate.rb:251-254``) carrying its accumulated tags;
+    rows whose codeblock would raise (NULL required agg input) are tagged
+    ``_aggregateexception``; rows consumed by cancel rules are dropped.
+
+    Two tiers, matching how much state the config needs:
+
+    - **ungated configs** (every rule ``create_or_update``): the guard
+      always passes, so tags and cancels are pure column expressions —
+      the batch :func:`passthrough_stream` works unchanged on the
+      streaming frame (stateless, no watermark, full Catalyst codegen).
+    - **guard-gated cancel / required-agg rules**: whether the code ran
+      depends on per-task map state, so PARTICIPATING rows ride the same
+      keyed state walk as :func:`streaming_correlate` (expiry-on-arrival
+      before the guard, duplicate-create and no-map-update suppression,
+      ``map_meta`` overrides, ``end_of_task`` deletion — mirroring
+      ``aggregate.rb:179-246``), emitting each input row back out with
+      its tags, or not at all when cancelled. Non-participating rows
+      (no rule / unresolved task id) take a stateless branch that is
+      unioned in — a self-union of the source, so each branch tracks the
+      same files independently.
+
+    Scale note: the gated tier serializes the participating rows
+    (full width) through one Arrow round-trip per micro-batch — the
+    price of reference-exact guard decisions on a stream; the batch
+    engine remains the cheap path for bulk replays.
+    """
+    parsed = parse(stream_df, groks or compile_groks())
+    classified = classify(parsed, cfg)
+    gated_relevant = [
+        r for r in cfg.rules
+        if r.map_action != "create_or_update"
+        and (r.cancel or any(s.required and s.col for s in r.aggs))
+    ]
+    if not gated_relevant:
+        from logstash_filter_aggregate_spark.plans.pipeline import passthrough_stream
+
+        return passthrough_stream(classified, cfg)
+
+    req_cols = [
+        F.expr(s.col).alias(_agg_value_col(r.rule_id, s.name))
+        for r in cfg.rules for s in r.aggs if s.required and s.col
+    ]
+    participates = F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull()
+    out_cols = [
+        c for c in classified.columns
+        if c not in _PT_ENGINE_COLS and c != "parse_tags"
+    ]
+    out_schema = T.StructType(
+        [classified.schema[c] for c in out_cols]
+        + [T.StructField("tags", T.ArrayType(T.StringType()))]
+    )
+    stateless = (
+        classified.where(~participates)
+        .withColumn("tags", F.col("parse_tags"))
+        .select(*out_cols, "tags")
+    )
+    part = (
+        classified.withWatermark("ts", watermark)
+        .where(participates)
+        .select(*classified.columns, *req_cols)
+    )
+    fn = _make_passthrough_fn(cfg, out_cols)
+    walked = part.groupBy("_task_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return walked.unionByName(stateless)
+
+
+def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
+    """Per-key walk for :func:`streaming_passthrough`'s gated tier: the
+    same state transitions as :func:`_make_stateful_fn` (the reference
+    filter hot path), but the OUTPUT is the input rows themselves —
+    tagged where the code would raise, suppressed where it cancels. The
+    state cell reuses STATE_SCHEMA with an empty map (aggregates are the
+    session engine's concern, not the passthrough's); event-time timers
+    are registered purely so dead tasks' state is reclaimed."""
+    rules = {
+        r.rule_id: dict(
+            map_action=r.map_action,
+            end_of_task=r.end_of_task,
+            cancel=r.cancel,
+            has_custom_timeout=r.custom_timeout is not None,
+            has_custom_inactivity=r.custom_inactivity_timeout is not None,
+            req_cols=[
+                _agg_value_col(r.rule_id, s.name)
+                for s in r.aggs if s.required and s.col
+            ],
+        )
+        for r in cfg.rules
+    }
+    timeout_s = float(cfg.timeout)
+    inactivity_s = float(cfg.effective_inactivity_timeout)
+    n_out = len(out_cols) + 1
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
+            return
+        st = None
+        if state.exists:
+            (c, l, n, _mj, eto, ein) = state.get
+            st = dict(
+                creation_ts=c, lastevent_ts=l, nevents=n,
+                eff_to=eto if eto is not None else timeout_s,
+                eff_in=ein if ein is not None else inactivity_s,
+            )
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        keep: list[int] = []
+        tags_out: list[list] = []
+        for i, row in enumerate(whole.to_dict("records")):
+            rule = rules.get(row["_rule_id"])
+            base_tags = list(row["parse_tags"]) if row["parse_tags"] is not None else []
+            if rule is None:
+                keep.append(i)
+                tags_out.append(base_tags)
+                continue
+            ts_s = row["ts"].timestamp()
+            # event-time expiry on arrival runs BEFORE the guard
+            # (aggregate.rb:194-199)
+            if st is not None and (
+                ts_s - st["creation_ts"] > st["eff_to"]
+                or ts_s - st["lastevent_ts"] > st["eff_in"]
+            ):
+                st = None
+            if st is None:
+                if rule["map_action"] == "update":
+                    # no map: code never runs — no tag, no cancel
+                    keep.append(i)
+                    tags_out.append(base_tags)
+                    continue
+                st = dict(
+                    creation_ts=ts_s, lastevent_ts=ts_s, nevents=0,
+                    eff_to=timeout_s, eff_in=inactivity_s,
+                )
+            elif rule["map_action"] == "create":
+                # duplicate start: return before any code side-effect
+                keep.append(i)
+                tags_out.append(base_tags)
+                continue
+            st["lastevent_ts"] = ts_s
+            st["nevents"] += 1
+            # the code RAN for this row
+            if rule["cancel"]:
+                pass  # event.cancel(): consumed, not passed through (U3)
+            else:
+                exc = any(
+                    row.get(c) is None or _is_nullish(row.get(c))
+                    for c in rule["req_cols"]
+                )
+                keep.append(i)
+                tags_out.append(
+                    base_tags + ["_aggregateexception"] if exc else base_tags
+                )
+            ct = row.get("_custom_timeout") if rule["has_custom_timeout"] else None
+            ci = row.get("_custom_inactivity") if rule["has_custom_inactivity"] else None
+            ct = None if ct is None or ct != ct else float(ct)
+            ci = None if ci is None or ci != ci else float(ci)
+            if rule["end_of_task"] or (ct is not None and ct == 0.0):
+                st = None
+            else:
+                if ct is not None and ct > 0:
+                    st["eff_to"] = ct
+                if ci is not None and ci > 0:
+                    st["eff_in"] = ci
+
+        if st is not None:
+            state.update((
+                st["creation_ts"], st["lastevent_ts"], st["nevents"], "{}",
+                st["eff_to"], st["eff_in"],
+            ))
+            expiry_s = min(
+                st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"]
+            )
+            state.setTimeoutTimestamp(int(expiry_s * 1000))
+        elif state.exists:
+            state.remove()
+        out = whole.iloc[keep][out_cols].copy()
+        out["tags"] = pd.Series(tags_out, index=out.index, dtype=object)
+        assert len(out.columns) == n_out
+        yield out
+
+    return fn
+
+
 def replay_push_previous(
     spark,
     input_dir: str,

@@ -66,3 +66,29 @@ def test_inactivity_defaults_to_timeout():
     # aggregate.rb:377-379
     c = PipelineConfig(task_id="%{x}", rules=(_rule(),), timeout=60)
     assert c.effective_inactivity_timeout == 60
+
+
+def test_guarded_window_mode_warns_once_at_config_time():
+    # the one known default-mode divergence (STATUS.md): guarded rules +
+    # event-time window sessionization -> disclosed via
+    # GuardedWindowModeWarning naming the duplicate-create gap-refresh
+    # corner and pointing at exact_age_cap=True
+    import warnings
+
+    from logstash_filter_aggregate_spark.config import GuardedWindowModeWarning
+
+    with pytest.warns(GuardedWindowModeWarning, match="exact_age_cap"):
+        PipelineConfig(task_id="%{x}", rules=(_rule(map_action="update"),))
+
+    # no warning when the config cannot diverge: exact replay mode,
+    # ungated rules, or processing-time mode (no gap splits at all)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", GuardedWindowModeWarning)
+        PipelineConfig(
+            task_id="%{x}", rules=(_rule(map_action="update"),), exact_age_cap=True
+        )
+        PipelineConfig(task_id="%{x}", rules=(_rule(),))
+        PipelineConfig(
+            task_id="%{x}", rules=(_rule(map_action="update"),),
+            timeout_timestamp_field=None,
+        )

@@ -551,3 +551,109 @@ def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):
             assert sorted(got[tid]) == sorted(exp_cmp), (
                 shape, tid, rows, sorted(got[tid]), sorted(exp_cmp)
             )
+
+
+def test_streaming_passthrough_matches_batch_gated(spark, tmp_path):
+    # O19 + U3 over a stream, guard-gated (the round-3 verdict's missing
+    # streaming column): same config family as pipe_route_counts_guarded
+    # — an update-guarded required-agg rule (exception tags only where a
+    # live map exists) plus an update-guarded cancel rule (consumed only
+    # where the code ran). The streaming passthrough must equal the
+    # batch passthrough row-for-row, tags included.
+    from logstash_filter_aggregate_spark.config import (
+        AggSpec,
+        CorrelationRule,
+        PipelineConfig,
+    )
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+            CorrelationRule(
+                "sql", "logger = 'SQL'", map_action="update",
+                aggs=(AggSpec("dur", "sum", "duration", required=True),),
+            ),
+            CorrelationRule(
+                "click", "click_target is not null", map_action="update", cancel=True,
+            ),
+            CorrelationRule(
+                "end", "logger = 'TASK_END'", map_action="update", end_of_task=True,
+            ),
+        ),
+        timeout=600.0, inactivity_timeout=120.0,
+    )
+    rows = [
+        (0, "INFO - u1 - SQL - q", 0),             # orphan update: no map -> kept, UNtagged
+        (1, "INFO - u1 - Clicked btn", 1),         # orphan cancel: code never ran -> kept
+        (2, "INFO - u1 - TASK_START - s", 2),      # creates
+        (3, "INFO - u1 - SQL - q", 3),             # live map, null duration -> tagged
+        (4, "INFO - u1 - SQL - q - 7", 4),         # live map, duration ok -> kept plain
+        (5, "INFO - u1 - Clicked btn", 5),         # live map -> cancelled (dropped)
+        (6, "INFO - u1 - TASK_START - s", 6),      # duplicate create: no-op, kept
+        (7, "INFO - u1 - TASK_END - e", 7),        # ends the task
+        (8, "INFO - u1 - SQL - q", 8),             # after end: no map -> kept, UNtagged
+        (9, "INFO - u2 - SQL - q", 200),           # new task, orphan -> kept untagged
+        (10, "INFO - u2 - TASK_START - s", 201),   # creates
+        (11, "INFO - u2 - SQL - q", 330),          # gap 129s > 120 -> map expired on arrival: orphan, untagged
+        (12, "not a parseable line", 331),         # non-participating: passes with parse tags
+    ]
+    p = str(tmp_path / "pt_in")
+    make_transcript(spark, rows).write.parquet(p)
+    t = spark.read.parquet(p)
+
+    batch_pt = run_pipeline(spark, t, cfg).passthrough
+
+    schema = t.schema
+    src = (
+        spark.readStream.schema(schema).parquet(p)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_passthrough(src, cfg)
+    name = "st_passthrough_gated"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+
+    def norm(df):
+        return sorted(
+            (r["conv_id"], r["turn_idx"], tuple(sorted(r["tags"] or [])))
+            for r in df.select("conv_id", "turn_idx", "tags").collect()
+        )
+
+    got = norm(spark.table(name))
+    want = norm(batch_pt)
+    assert got == want, (got, want)
+    # the scenario exercises every branch: at least one tagged row, one
+    # cancelled row, and the non-participating row
+    tagged = [r for r in got if "_aggregateexception" in r[2]]
+    assert len(tagged) == 1 and tagged[0][1] == 3
+    assert all(r[1] != 5 for r in got)
+
+
+def test_streaming_passthrough_ungated_is_stateless(spark, stream_dir):
+    # ungated configs take the stateless tier: plain column ops, no
+    # state store in the plan, and row parity with the batch passthrough
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
+
+    cfg = example3_config(timeout=600.0)
+    t = spark.read.parquet(stream_dir)
+    want = run_pipeline(spark, t, cfg).passthrough.count()
+
+    schema = t.schema
+    src = (
+        spark.readStream.schema(schema).parquet(stream_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_passthrough(src, cfg)
+    assert "FlatMapGroupsInPandasWithState" not in out._jdf.queryExecution().analyzed().toString()
+    name = "st_passthrough_plain"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    assert spark.table(name).count() == want
