@@ -45,6 +45,7 @@ def run_leg(master: str, zpath: str, input_path: str, buckets: str, tag: str) ->
         "--conf", f"spark.local.dir={LOCAL_DIR}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.eventLog.enabled=true",
+        "--conf", "spark.eventLog.compress=false",
         "--conf", f"spark.eventLog.dir=file://{ev_dir}",
         "--py-files", zpath,
         os.path.join(REPO, "tools", "submit_job.py"),

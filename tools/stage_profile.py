@@ -14,15 +14,49 @@ Usage: python tools/stage_profile.py <event-log-file> [--json]
 from __future__ import annotations
 
 import json
+import os
 import sys
 from collections import defaultdict
+
+
+def _event_files(path: str) -> list[str]:
+    """A Spark event log is either a single file or (Spark 3.4+/4 rolling
+    mode) a directory ``eventlog_v2_<app>/`` of ``events_*`` parts."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for name in sorted(os.listdir(path)):
+        p = os.path.join(path, name)
+        if os.path.isdir(p):
+            out.extend(_event_files(p))
+        elif name.startswith("events_") or name.startswith("eventlog"):
+            out.append(p)
+    return out
 
 
 def profile(path: str) -> list[dict]:
     stages: dict[int, dict] = {}
     tasks = defaultdict(lambda: dict(n=0, run_ms=0, gc_ms=0, shuffle_read=0,
                                      shuffle_write=0, input_bytes=0, spill=0))
-    with open(path) as f:
+    for part in _event_files(path):
+        _consume(part, stages, tasks)
+    out = []
+    for sid, s in sorted(stages.items()):
+        t = tasks.get(sid, {})
+        s.update(
+            run_s=round(t.get("run_ms", 0) / 1000.0, 1),
+            gc_s=round(t.get("gc_ms", 0) / 1000.0, 1),
+            input_mb=round(t.get("input_bytes", 0) / 1e6, 1),
+            shuffle_read_mb=round(t.get("shuffle_read", 0) / 1e6, 1),
+            shuffle_write_mb=round(t.get("shuffle_write", 0) / 1e6, 1),
+            spill_mb=round(t.get("spill", 0) / 1e6, 1),
+        )
+        out.append(s)
+    return out
+
+
+def _consume(path: str, stages: dict, tasks) -> None:
+    with open(path, errors="ignore") as f:
         for line in f:
             try:
                 ev = json.loads(line)
@@ -57,19 +91,6 @@ def profile(path: str) -> list[dict]:
                 t["shuffle_write"] += (m.get("Shuffle Write Metrics") or {}).get(
                     "Shuffle Bytes Written", 0
                 )
-    out = []
-    for sid, s in sorted(stages.items()):
-        t = tasks.get(sid, {})
-        s.update(
-            run_s=round(t.get("run_ms", 0) / 1000.0, 1),
-            gc_s=round(t.get("gc_ms", 0) / 1000.0, 1),
-            input_mb=round(t.get("input_bytes", 0) / 1e6, 1),
-            shuffle_read_mb=round(t.get("shuffle_read", 0) / 1e6, 1),
-            shuffle_write_mb=round(t.get("shuffle_write", 0) / 1e6, 1),
-            spill_mb=round(t.get("spill", 0) / 1e6, 1),
-        )
-        out.append(s)
-    return out
 
 
 def main() -> None:
