@@ -458,6 +458,53 @@ def _o19b_guarded_exception_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_passthrough_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19/U3 over a STREAM (round-4 streaming passthrough parity): the
+    o19b config replayed through streaming_passthrough — the keyed state
+    walk decides guard inclusion, so `_aggregateexception` tags appear
+    exactly where the batch engine (and the reference codeblock) would
+    raise. Same aggregate shape and ORACLE as o19b_guarded_exception_tags,
+    so the driver certifies batch/stream/SQL three-way agreement."""
+    import os
+
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
+
+    cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "etype = 'signup'", map_action="create"),
+            CorrelationRule(
+                "val", "etype is not null", map_action="update",
+                aggs=(AggSpec("v", "sum", "CASE WHEN val >= 0 THEN val END", required=True),),
+            ),
+        ),
+        timeout=BIG_TIMEOUT,
+    )
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    src_dir = f"/tmp/spark_graft_stream_src/{tag}"
+    if not os.path.exists(f"{src_dir}/_SUCCESS"):
+        events_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    src = (
+        spark.readStream.schema(schema).parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_passthrough(src, cfg, groks=compile_groks(EVENT_GROK))
+    name = f"st_pt_guarded_{tag}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("streaming passthrough replay did not finish within 600s")
+    return spark.table(name).where("etype is not null").groupBy("etype").agg(
+        F.sum(F.array_contains("tags", "_aggregateexception").cast("int"))
+        .cast("long").alias("n_tagged"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
 def _pipe_resume_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O21 through the engine: split the stream at its midpoint, seed run B
     with run A's open maps (the aggregate_maps_path reload analog,
@@ -767,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pipe_route_counts_guarded"] = _pipe_route_counts_guarded  # O3 × U3/O18
     q["o18b_guarded_emissions"] = _o18b_guarded_emissions  # O18 guard-gated
     q["o19b_guarded_exception_tags"] = _o19b_guarded_exception_tags  # O19 guard-gated
+    q["stream_passthrough_guarded"] = _stream_passthrough_guarded  # O19/U3 over a stream
     q["pipe_resume_seeds"] = _pipe_resume_seeds            # O21
 
     # --- U1: grok/regex parse (JVM backend; pandas backend is rows-only)
@@ -1502,6 +1550,8 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_total
         FROM i GROUP BY event_type
     """
+    # streaming passthrough == batch passthrough == the same SQL oracle
+    o["stream_passthrough_guarded"] = o["o19b_guarded_exception_tags"]
     o["pipe_resume_seeds"] = _PIPE_GAP_SQL
     o["u01_regex_parse"] = """
         WITH t AS (
