@@ -24,18 +24,27 @@ def run_multi(
     configs: list[PipelineConfig],
     groks=None,
     parse_backend: str = "jvm",
+    share_parse: bool = True,
     **kwargs,
 ) -> dict[str, PipelineOutputs]:
     """One outputs bundle per pattern_id. Same task-id value under two
     patterns never shares state (spec'd by the nested-hash keying).
 
-    The grok parse — the most expensive stage — runs ONCE and is shared
+    The grok parse — the most expensive stage — is built ONCE and shared
     by every pattern's pipeline (the reference also parses upstream of
-    all its aggregate filters)."""
+    all its aggregate filters). With ``share_parse=True`` (default for
+    >1 pattern) the parsed frame is additionally lazily
+    ``localCheckpoint``-ed, so M patterns' consuming actions MATERIALIZE
+    the parse once instead of re-executing the regex subtree M times —
+    the multi-pattern analog of ``passthrough_shared_subtree``'s
+    one-parse-per-job guarantee (same lineage-truncation tradeoff,
+    documented there)."""
     from logstash_filter_aggregate_spark.plans.pipeline import parse
 
     validate_configs(configs)
     parsed = parse(transcripts, groks, backend=parse_backend)
+    if share_parse and len(configs) > 1:
+        parsed = parsed.localCheckpoint(eager=False)
     return {
         cfg.pattern_id: run_pipeline(spark, parsed, cfg, pre_parsed=True, **kwargs)
         for cfg in configs
