@@ -206,6 +206,37 @@ def _pipe_no_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _staged_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events_as_transcripts(sf_dir) as parquet for file-source
+    streaming replays. The cache key is a CONTENT fingerprint of sf_dir
+    (file sizes + mtimes), not just _SUCCESS: a regenerated corpus at the
+    same sf — or two corpora sharing the dir-name suffix — must not
+    replay stale staged data against a fresh batch/oracle side."""
+    import hashlib
+    import os
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    src_dir = f"/tmp/spark_graft_stream_src/{tag}"
+    ev_dir = os.path.join(sf_dir, "events.parquet")
+    walk_root = ev_dir if os.path.isdir(ev_dir) else sf_dir
+    fp_parts = []
+    for root, _dirs, files in sorted(os.walk(walk_root)):
+        for f in sorted(files):
+            st_ = os.stat(os.path.join(root, f))
+            fp_parts.append(f"{os.path.join(root, f)}:{st_.st_size}:{st_.st_mtime_ns}")
+    fp = hashlib.sha256("|".join(fp_parts).encode()).hexdigest()[:16]
+    fp_file = f"{src_dir}/_fingerprint"
+    stale = True
+    if os.path.exists(f"{src_dir}/_SUCCESS") and os.path.exists(fp_file):
+        with open(fp_file) as fh:
+            stale = fh.read().strip() != fp
+    if stale:
+        events_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+        with open(fp_file, "w") as fh:
+            fh.write(fp)
+    return src_dir
+
+
 def _stream_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Structured Streaming variant (streaming/stream.py
     applyInPandasWithState full map lifecycle) oracle-checked: the same
@@ -215,14 +246,9 @@ def _stream_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     INCLUDING session timestamps: the state keeps epoch-seconds doubles
     whose error is <= 0.19µs for current epochs, so the µs rounding at
     emission (stream.py) recovers the original microsecond exactly."""
-    import os
-
     from logstash_filter_aggregate_spark.streaming.stream import streaming_correlate
 
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    src_dir = f"/tmp/spark_graft_stream_src/{tag}"
-    if not os.path.exists(f"{src_dir}/_SUCCESS"):
-        events_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    src_dir = _staged_stream_src(spark, sf_dir)
     schema = spark.read.parquet(src_dir).schema
     # the driver parquet carries TIMESTAMP_NTZ; streaming watermarks
     # require TIMESTAMP (session tz is UTC, so the instant is unchanged)
@@ -231,7 +257,7 @@ def _stream_start_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     out = streaming_correlate(src, _start_end_config(), groks=compile_groks(EVENT_GROK))
-    name = f"st_start_end_{tag}"
+    name = "st_start_end_" + src_dir.rsplit("/", 1)[-1]
     q = (
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
@@ -465,8 +491,6 @@ def _stream_passthrough_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly where the batch engine (and the reference codeblock) would
     raise. Same aggregate shape and ORACLE as o19b_guarded_exception_tags,
     so the driver certifies batch/stream/SQL three-way agreement."""
-    import os
-
     from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
 
     cfg = PipelineConfig(
@@ -480,17 +504,14 @@ def _stream_passthrough_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         timeout=BIG_TIMEOUT,
     )
-    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    src_dir = f"/tmp/spark_graft_stream_src/{tag}"
-    if not os.path.exists(f"{src_dir}/_SUCCESS"):
-        events_as_transcripts(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    src_dir = _staged_stream_src(spark, sf_dir)
     schema = spark.read.parquet(src_dir).schema
     src = (
         spark.readStream.schema(schema).parquet(src_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     out = streaming_passthrough(src, cfg, groks=compile_groks(EVENT_GROK))
-    name = f"st_pt_guarded_{tag}"
+    name = "st_pt_guarded_" + src_dir.rsplit("/", 1)[-1]
     q = (
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
@@ -894,7 +915,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         false-tripped there, twice, before this form). Asserting "the
         bucketing prunes >=95-99% of all pairs" holds at every measured
         scale while a signature/banding collapse (every pair a
-        candidate) exceeds it by >=20x."""
+        candidate) exceeds it by >=20x.
+
+        Returns ``(cand, guard)`` with ``cand`` persisted: the count leg
+        and the caller's verify join share one materialization instead of
+        re-executing the LSH candidate subtree twice (the driver's
+        ContextCleaner reclaims the blocks once the frame is unreferenced)."""
+        cand = cand.persist()
         breach = (
             cand.agg(F.count(F.lit(1)).alias("_nc"))
             .crossJoin(corpus.agg(F.count(F.lit(1)).alias("_nb")))
@@ -903,7 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 > F.lit(max_pair_frac) * F.col("_nb") * (F.col("_nb") - 1) / 2
             )
         )
-        return breach.select(*sentinel)
+        return cand, breach.select(*sentinel)
 
     def dd_minhash(spark, sf):
         # property oracle: with 16 bands of 1 row, the per-pair miss
@@ -915,7 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _docs(spark, sf)
         cand = dedup.minhash_lsh_candidates(d, k=3, num_hashes=16, bands=16, max_bucket=4096)
         exact = dedup.ngram_jaccard_pairs(d, k=3, min_jaccard=0.6)
-        guard = _flood_guard(cand, d, 0.05, [
+        cand, guard = _flood_guard(cand, d, 0.05, [
             F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
             F.lit(-1.0).alias("jaccard"),
         ])
@@ -941,7 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         exact = a.join(
             b, (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id"))
         ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        guard = _flood_guard(cand, alld, 0.05, [
+        cand, guard = _flood_guard(cand, alld, 0.05, [
             F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
             F.lit(-1).cast("long").alias("hamming"),
         ])  # <=5% of the pair space (measured 0.7% at the 10x sweep)
@@ -1045,7 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("a.embedding") == F.col("b.embedding"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         ).select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        guard = _flood_guard(pairs, allv, 0.01, [
+        pairs, guard = _flood_guard(pairs, allv, 0.01, [
             F.lit(-1).cast("long").alias("id_a"), F.lit(-1).cast("long").alias("id_b"),
             F.lit(-1.0).alias("cos_sim"),
         ])  # <=1% of the pair space (measured 0.045% at the 10x sweep)

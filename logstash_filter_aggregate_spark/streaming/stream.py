@@ -311,12 +311,24 @@ def _make_stateful_fn(cfg: PipelineConfig):
                 st["eff_to"], st["eff_in"],
             ))
             expiry_s = min(st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"])
-            state.setTimeoutTimestamp(int(expiry_s * 1000))
+            state.setTimeoutTimestamp(_clamped_expiry_ms(expiry_s, state))
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
 
     return fn
+
+
+def _clamped_expiry_ms(expiry_s: float, state: GroupState) -> int:
+    """Event-time timers must land strictly after the current watermark:
+    a short custom-timeout override can put a map's expiry behind a
+    watermark other keys have already advanced, and Spark rejects such a
+    setTimeoutTimestamp call outright (failing the whole query). Clamp to
+    watermark+1 ms — the map is already expired, so the earliest legal
+    firing (next micro-batch) is the right semantics."""
+    expiry_ms = int(expiry_s * 1000)
+    wm_ms = state.getCurrentWatermarkMs()
+    return max(expiry_ms, wm_ms + 1)
 
 
 def streaming_correlate(
@@ -643,7 +655,7 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
             expiry_s = min(
                 st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"]
             )
-            state.setTimeoutTimestamp(int(expiry_s * 1000))
+            state.setTimeoutTimestamp(_clamped_expiry_ms(expiry_s, state))
         elif state.exists:
             state.remove()
         out = whole.iloc[keep][out_cols].copy()

@@ -582,5 +582,7 @@ def test_override_scan_beats_slow_scan_on_hot_task():
             t0 = time.perf_counter()
             _slow_scan(ts, end_seg, action, cust_to, cust_in, None, age_s, timeout, inactivity)
             slow_s = min(slow_s, time.perf_counter() - t0)
-        assert v_s <= 0.4, (vals, v_s)               # absolute: <= 400 ms/M rows
+        # ratio-only: an absolute wall bound here is machine-dependent
+        # (flakes on loaded hosts); the vectorized-vs-replay ratio is the
+        # invariant worth pinning
         assert slow_s / max(v_s, 1e-9) >= min_ratio, (vals, v_s, slow_s)
