@@ -185,15 +185,18 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
       the sorted ``ts`` — so work is O(#sessions · log n), not O(rows).
       A 1M-row hot task with a handful of sessions costs a handful of
       hops instead of a million interpreted iterations.
-    - **exact state machine** (tasks with ``create``/``update`` guard
-      actions or live per-map overrides): per-row replay of the
-      reference's filter hot path (``aggregate.rb:179-246``), including
-      the orderings the window mode approximates: the expiry check runs
-      *before* the map-action guard (``aggregate.rb:194-199``), a
-      duplicate ``create`` returns before touching ``lastevent_timestamp``
+    - **guarded / override tiers** (tasks with ``create``/``update``
+      guard actions or live per-map overrides): the same vectorized
+      session-hop, extended to reproduce the reference's filter hot path
+      (``aggregate.rb:179-246``) exactly, including the orderings the
+      window mode approximates: the expiry check runs *before* the
+      map-action guard (``aggregate.rb:194-199``), a duplicate
+      ``create`` returns before touching ``lastevent_timestamp``
       (``aggregate.rb:216`` precedes ``:220``) so it must NOT refresh the
       inactivity clock, and an ``update`` with no live map is a total
       no-op (``aggregate.rb:203``) that neither creates nor refreshes.
+      Every tier is fuzz-pinned against an independent per-row reference
+      simulator (``tests/test_timeouts.py::_reference_scan``).
 
     Groups are single tasks — bounded by the reference's own working-set
     assumption (one in-memory map per task, warning at 5000 maps,
@@ -227,17 +230,17 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
         no_overrides = not (np.nan_to_num(cust_to) > 0).any() and not (
             np.nan_to_num(cust_in) > 0
         ).any()
-        seed_ok = seed_creation is None or not np.isfinite(seed_creation[1:]).any()
-        sc0 = None
-        if seed_creation is not None and seed_creation[0] == seed_creation[0]:
-            sc0 = float(seed_creation[0])
-        if all_cou and no_overrides and seed_ok and n > 0:
-            _fast_scan(ts, end_seg, sc0, age, timeout, inactivity)
-        elif no_overrides and seed_ok and n > 0:
+        # seeds (finite _seed_creation_ts, at ANY position — overlapping
+        # resumes inject several per task) ride through every tier: a seed
+        # only perturbs the session whose CREATOR is the seed row, one
+        # scalar lookup per session start in the hop loops
+        if all_cou and no_overrides and n > 0:
+            _fast_scan(ts, end_seg, seed_creation, age, timeout, inactivity)
+        elif no_overrides and n > 0:
             # guarded (create/update actions) but no live overrides: the
             # vectorized session-hop still applies (tier B)
-            _guarded_scan(ts, end_seg, action, sc0, age, timeout, inactivity)
-        elif seed_ok and n > 0:
+            _guarded_scan(ts, end_seg, action, seed_creation, age, timeout, inactivity)
+        elif n > 0:
             # live per-map overrides (tier C): session-hop with override
             # regimes. Every-row constant overrides (a rule that always
             # sets the same map_meta timeout) collapse to tier B with
@@ -247,21 +250,12 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
                 action = np.full(n, "create_or_update", dtype=object)
             eff = _constant_override_clocks(cust_to, cust_in, timeout, inactivity)
             if eff is not None:
-                _guarded_scan(ts, end_seg, action, sc0, age, eff[0], eff[1])
+                _guarded_scan(ts, end_seg, action, seed_creation, age, eff[0], eff[1])
             else:
                 _override_scan(
-                    ts, end_seg, action, cust_to, cust_in, sc0, age,
+                    ts, end_seg, action, cust_to, cust_in, seed_creation, age,
                     timeout, inactivity,
                 )
-        elif n > 0:
-            if action is None:
-                action = np.full(n, "create_or_update", dtype=object)
-            # residual per-row replay: only reachable with a finite seed
-            # creation ts beyond index 0 (overlapping-resume corner)
-            _slow_scan(
-                ts, end_seg, action, cust_to, cust_in, seed_creation, age,
-                timeout, inactivity,
-            )
         pdf = pdf.copy()
         # exact mode folds gap splits into _age_seg; zero _gap_seg so the
         # aggregate stage's (end, gap, age) grouping key stays uniform
@@ -272,7 +266,19 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return part.groupBy(TASK_ID_COL).applyInPandas(scan, schema=out_schema)
 
 
-def _fast_scan(ts, end_seg, seed_creation0, age, timeout: float, inactivity: float) -> None:
+def _seed_or_ts(seed_creation, s: int, ts) -> float:
+    """Session creation time at creator row ``s``: the row's carried
+    ``_seed_creation_ts`` when finite (a resume seed re-creating a prior
+    run's map, at any position — overlapping resumes inject several per
+    task), else the row's own ts. One scalar lookup per session start."""
+    if seed_creation is not None:
+        sc = seed_creation[s]
+        if sc == sc:  # non-NaN
+            return float(sc)
+    return float(ts[s])
+
+
+def _fast_scan(ts, end_seg, seed_creation, age, timeout: float, inactivity: float) -> None:
     """All-create_or_update, no-override session-hop scan: splits per
     end_seg block; within a block, each session's end is found via numpy
     searchsorted (next precomputed inactivity gap / next age crossing), so
@@ -291,11 +297,7 @@ def _fast_scan(ts, end_seg, seed_creation0, age, timeout: float, inactivity: flo
         cur = 0
         start = s
         while start < e:
-            creation = (
-                seed_creation0
-                if (start == 0 and seed_creation0 is not None)
-                else ts[start]
-            )
+            creation = _seed_or_ts(seed_creation, start, ts)
             # next inactivity gap strictly after the session start
             gi = np.searchsorted(gap_rows, start + 1)
             g = int(gap_rows[gi]) if gi < len(gap_rows) else e
@@ -309,12 +311,12 @@ def _fast_scan(ts, end_seg, seed_creation0, age, timeout: float, inactivity: flo
             start = nxt
 
 
-def _guarded_scan(ts, end_seg, action, seed_creation0, age, timeout: float, inactivity: float) -> None:
+def _guarded_scan(ts, end_seg, action, seed_creation, age, timeout: float, inactivity: float) -> None:
     """Guarded (create/update actions) session-hop scan — the vectorized
-    tier between ``_fast_scan`` and ``_slow_scan``, valid when no per-map
-    overrides are live. Same O(#sessions · log n) hop structure, extended
-    with the guard semantics the per-row replay preserves (see
-    ``_exact_age_seg``):
+    tier between ``_fast_scan`` and ``_override_scan``, valid when no
+    per-map overrides are live. Same O(#sessions · log n) hop structure,
+    extended with the guard semantics the reference's per-row state
+    machine preserves (see ``_exact_age_seg``):
 
     - a duplicate ``create`` neither refreshes the inactivity clock nor
       re-creates (``aggregate.rb:216`` precedes ``:220``), so the gap
@@ -368,9 +370,7 @@ def _guarded_scan(ts, end_seg, action, seed_creation0, age, timeout: float, inac
         s = int(cc_rows[ci]) if ci < n_cc and cc_rows[ci] < e else e
         age[s0:s] = cur
         while s < e:
-            creation = (
-                seed_creation0 if (s == 0 and seed_creation0 is not None) else ts[s]
-            )
+            creation = _seed_or_ts(seed_creation, s, ts)
             # initial create-run: rows (s, ncr] still measure the gap from
             # ts[s] (nothing refreshed `last` yet)
             ri = nr_ss(s + 1)
@@ -423,7 +423,7 @@ def _constant_override_clocks(cust_to, cust_in, timeout, inactivity):
 
 
 def _override_scan(
-    ts, end_seg, action, cust_to, cust_in, seed_creation0, age,
+    ts, end_seg, action, cust_to, cust_in, seed_creation, age,
     timeout: float, inactivity: float,
 ) -> None:
     """Vectorized session-hop for tasks with LIVE per-map overrides
@@ -541,9 +541,7 @@ def _override_scan(
             s = e
         age[s0:s] = cur                                # leading no-map updates
         while s < e:
-            creation = (
-                seed_creation0 if (s == 0 and seed_creation0 is not None) else ts[s]
-            )
+            creation = _seed_or_ts(seed_creation, s, ts)
             last_floor = float(ts[s])
             eff_to, eff_in = timeout, inactivity
             if has_to[s]:
@@ -626,55 +624,3 @@ def _override_scan(
                 break
 
 
-def _slow_scan(
-    ts, end_seg, action, cust_to, cust_in, seed_creation, age,
-    timeout: float, inactivity: float,
-) -> None:
-    """Per-row replay of the reference hot path (aggregate.rb:179-246) —
-    see the _exact_age_seg docstring for the orderings this preserves."""
-    n = len(ts)
-    cur = 0
-    has_map = False
-    creation = last = 0.0
-    eff_to, eff_in = timeout, inactivity
-    prev_end = None
-    for i in range(n):
-        if end_seg[i] != prev_end:
-            # hard boundary: previous map deleted by end_of_task/custom0
-            cur = 0
-            has_map = False
-            eff_to, eff_in = timeout, inactivity
-            prev_end = end_seg[i]
-        # event-time expiry on arrival runs BEFORE the guard
-        # (aggregate.rb:194-199): the expired map dies even if this row
-        # then fails its map_action guard
-        if has_map and ((ts[i] - creation > eff_to) or (ts[i] - last > eff_in)):
-            has_map = False
-            eff_to, eff_in = timeout, inactivity
-            cur += 1
-        if not has_map:
-            if action[i] == "update":
-                # no-op: no map created, no clock started (aggregate.rb:203);
-                # labeled with the upcoming generation, where the guard
-                # stage excludes it (no prior creator in that segment)
-                age[i] = cur
-                continue
-            sc = seed_creation[i] if seed_creation is not None else None
-            creation = sc if sc is not None and sc == sc else ts[i]
-            last = ts[i]
-            has_map = True
-        else:
-            if action[i] == "create":
-                # duplicate start: return BEFORE the lastevent update
-                # (aggregate.rb:216) — the inactivity clock is NOT
-                # refreshed, and the codeblock (overrides) never runs
-                age[i] = cur
-                continue
-            last = ts[i]
-        # the codeblock ran: per-map overrides take effect for the map's
-        # subsequent expiry checks (aggregate.rb:243-246,396-397)
-        if cust_to[i] == cust_to[i] and cust_to[i] > 0:  # non-NaN, >0
-            eff_to = float(cust_to[i])
-        if cust_in[i] == cust_in[i] and cust_in[i] > 0:
-            eff_in = float(cust_in[i])
-        age[i] = cur

@@ -14,6 +14,68 @@ from tests.conftest import T0, make_transcript
 import datetime as dt
 
 
+def _reference_scan(
+    ts, end_seg, action, cust_to, cust_in, seed_creation, age,
+    timeout: float, inactivity: float,
+) -> None:
+    """Independent per-row replay of the reference hot path
+    (aggregate.rb:179-246) — the fuzz ORACLE the vectorized production
+    tiers (_fast_scan/_guarded_scan/_override_scan) are pinned against.
+    Test-only: the engine itself has no per-row Python tier left.
+    Orderings preserved (see _exact_age_seg): expiry-before-guard
+    (aggregate.rb:194-199), duplicate-create returns before the
+    lastevent refresh (rb:216 < rb:220), no-map update is a no-op
+    (rb:203), overrides last-write-wins where the codeblock runs
+    (rb:243-246,396-397). Resume seeds: a creating row with finite
+    seed_creation ages from that carried ts (at ANY position —
+    overlapping resumes inject several per task)."""
+    n = len(ts)
+    cur = 0
+    has_map = False
+    creation = last = 0.0
+    eff_to, eff_in = timeout, inactivity
+    prev_end = None
+    for i in range(n):
+        if end_seg[i] != prev_end:
+            # hard boundary: previous map deleted by end_of_task/custom0
+            cur = 0
+            has_map = False
+            eff_to, eff_in = timeout, inactivity
+            prev_end = end_seg[i]
+        # event-time expiry on arrival runs BEFORE the guard: the expired
+        # map dies even if this row then fails its map_action guard
+        if has_map and ((ts[i] - creation > eff_to) or (ts[i] - last > eff_in)):
+            has_map = False
+            eff_to, eff_in = timeout, inactivity
+            cur += 1
+        if not has_map:
+            if action[i] == "update":
+                # no-op: no map created, no clock started; labeled with
+                # the upcoming generation, where the guard stage excludes
+                # it (no prior creator in that segment)
+                age[i] = cur
+                continue
+            sc = seed_creation[i] if seed_creation is not None else None
+            creation = sc if sc is not None and sc == sc else ts[i]
+            last = ts[i]
+            has_map = True
+        else:
+            if action[i] == "create":
+                # duplicate start: return BEFORE the lastevent update —
+                # the inactivity clock is NOT refreshed, and the
+                # codeblock (overrides) never runs
+                age[i] = cur
+                continue
+            last = ts[i]
+        # the codeblock ran: per-map overrides take effect for the map's
+        # subsequent expiry checks
+        if cust_to[i] == cust_to[i] and cust_to[i] > 0:  # non-NaN, >0
+            eff_to = float(cust_to[i])
+        if cust_in[i] == cust_in[i] and cust_in[i] > 0:
+            eff_in = float(cust_in[i])
+        age[i] = cur
+
+
 def test_event_time_expiry_and_timestamp_inheritance(spark):
     # spec:374-390 — third event after gap > timeout pushes the map of the
     # first two and creates a fresh map inheriting the third's timestamp
@@ -314,7 +376,7 @@ def test_exact_scan_fast_path_equals_slow_and_is_faster():
 
     import numpy as np
 
-    from logstash_filter_aggregate_spark.operators.sessionize import _fast_scan, _slow_scan
+    from logstash_filter_aggregate_spark.operators.sessionize import _fast_scan
 
     n = 1_000_000
     rng = np.random.RandomState(11)
@@ -341,24 +403,41 @@ def test_exact_scan_fast_path_equals_slow_and_is_faster():
     action = np.full(n, "create_or_update", dtype=object)
     nan = np.full(n, np.nan)
     t0 = time.perf_counter()
-    _slow_scan(ts, end_seg, action, nan, nan, None, age_slow, timeout, inactivity)
+    _reference_scan(ts, end_seg, action, nan, nan, None, age_slow, timeout, inactivity)
     slow_s = time.perf_counter() - t0
 
     assert np.array_equal(age_fast, age_slow)
     assert slow_s / max(fast_s, 1e-9) >= 10, (fast_s, slow_s)
 
 
-def test_guarded_scan_equals_slow_scan_fuzz():
+def _fuzz_seed_array(rng, np, n, ts, action):
+    """Randomized resume-seed array: with prob 0.4, 1-3 finite
+    _seed_creation_ts values at ARBITRARY positions (the overlapping-
+    resume shape — several seeds per task, not just row 0). A seed only
+    perturbs sessions whose creator is the seed row; seeds landing on
+    guard-rejected rows (duplicate create, no-map update) must be
+    ignored by both sides — planted deliberately for that coverage."""
+    if rng.rand() >= 0.4:
+        return None
+    seed = np.full(n, np.nan)
+    for p_ in rng.choice(n, size=min(int(rng.randint(1, 4)), n), replace=False):
+        seed[p_] = float(ts[p_] - rng.choice([0.0, 50.0, 1000.0]))
+    # keep the row-0 creator case common (the classic resume shape)
+    if rng.rand() < 0.5:
+        seed[0] = float(ts[0] - rng.choice([0.0, 50.0, 1000.0]))
+        action[0] = "create_or_update"
+    return seed
+
+
+def test_guarded_scan_equals_reference_fuzz():
     # the vectorized guarded session-hop (tier B) must reproduce the
     # per-row reference replay exactly on randomized guarded streams:
     # mixed create/update/create_or_update actions, end blocks, gap and
-    # age crossings, duplicate-create runs, dead update zones
+    # age crossings, duplicate-create runs, dead update zones, and
+    # resume seeds at arbitrary positions (overlapping resumes)
     import numpy as np
 
-    from logstash_filter_aggregate_spark.operators.sessionize import (
-        _guarded_scan,
-        _slow_scan,
-    )
+    from logstash_filter_aggregate_spark.operators.sessionize import _guarded_scan
 
     rng = np.random.RandomState(20260817)
     for trial in range(60):
@@ -373,35 +452,58 @@ def test_guarded_scan_equals_slow_scan_fuzz():
         timeout = float(rng.choice([120.0, 600.0, 3000.0]))
         inactivity = float(rng.choice([60.0, 300.0, timeout]))
         inactivity = min(inactivity, timeout)
-        sc0 = float(ts[0] - rng.choice([0.0, 50.0, 1000.0])) if rng.rand() < 0.3 else None
-        seed = None
-        if sc0 is not None:
-            seed = np.full(n, np.nan)
-            seed[0] = sc0
-            action[0] = "create_or_update"
+        seed = _fuzz_seed_array(rng, np, n, ts, action)
 
         age_g = np.zeros(n, dtype="int32")
-        _guarded_scan(ts, end_seg, action, sc0, age_g, timeout, inactivity)
+        _guarded_scan(ts, end_seg, action, seed, age_g, timeout, inactivity)
         age_s = np.zeros(n, dtype="int32")
         nan = np.full(n, np.nan)
-        _slow_scan(ts, end_seg, action, nan, nan, seed, age_s, timeout, inactivity)
+        _reference_scan(ts, end_seg, action, nan, nan, seed, age_s, timeout, inactivity)
         assert np.array_equal(age_g, age_s), (
-            trial, timeout, inactivity, sc0,
+            trial, timeout, inactivity,
             np.flatnonzero(age_g != age_s)[:5],
         )
 
 
-def test_guarded_scan_beats_slow_scan_10x_on_hot_task():
+def test_fast_scan_equals_reference_fuzz_with_seeds():
+    # tier A (all create_or_update) with resume seeds at arbitrary
+    # positions — the overlapping-resume corner that used to fall back
+    # to a per-row replay now rides the fast hop; pin it against the
+    # independent reference simulator
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.operators.sessionize import _fast_scan
+
+    rng = np.random.RandomState(20260819)
+    for trial in range(60):
+        n = int(rng.randint(1, 400))
+        deltas = rng.choice([1.0, 5.0, 40.0, 200.0, 900.0], size=n)
+        ts = np.cumsum(deltas)
+        end_seg = np.cumsum(rng.rand(n) < 0.05).astype("int64")
+        action = np.full(n, "create_or_update", dtype=object)
+        timeout = float(rng.choice([120.0, 600.0, 3000.0]))
+        inactivity = min(float(rng.choice([60.0, 300.0, timeout])), timeout)
+        seed = _fuzz_seed_array(rng, np, n, ts, action)
+
+        age_f = np.zeros(n, dtype="int32")
+        _fast_scan(ts, end_seg, seed, age_f, timeout, inactivity)
+        age_s = np.zeros(n, dtype="int32")
+        nan = np.full(n, np.nan)
+        _reference_scan(ts, end_seg, action, nan, nan, seed, age_s, timeout, inactivity)
+        assert np.array_equal(age_f, age_s), (
+            trial, timeout, inactivity,
+            np.flatnonzero(age_f != age_s)[:5],
+        )
+
+
+def test_guarded_scan_beats_reference_10x_on_hot_task():
     # 1M-row guarded hot task (VERDICT r2 item 4): the vectorized tier
     # must match the per-row replay and beat it by >= 10x
     import time
 
     import numpy as np
 
-    from logstash_filter_aggregate_spark.operators.sessionize import (
-        _guarded_scan,
-        _slow_scan,
-    )
+    from logstash_filter_aggregate_spark.operators.sessionize import _guarded_scan
 
     n = 1_000_000
     rng = np.random.RandomState(13)
@@ -427,7 +529,7 @@ def test_guarded_scan_beats_slow_scan_10x_on_hot_task():
     slow_s = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        _slow_scan(ts, end_seg, action, nan, nan, None, age_s, timeout, inactivity)
+        _reference_scan(ts, end_seg, action, nan, nan, None, age_s, timeout, inactivity)
         slow_s = min(slow_s, time.perf_counter() - t0)
 
     assert np.array_equal(age_g, age_s)
@@ -465,18 +567,17 @@ def test_custom_inactivity_override_exact_mode(spark):
     assert [r.clicks for r in out.open.collect()] == [2]
 
 
-def test_override_scan_equals_slow_scan_fuzz():
+def test_override_scan_equals_reference_fuzz():
     # tier C (live per-map overrides) must reproduce the per-row replay
     # exactly: mixed actions, sparse/dense overrides, varying and
     # constant values, overrides on create rows (must NOT apply when the
-    # create is a duplicate), end blocks, seeds carrying overrides
+    # create is a duplicate), end blocks, seeds at arbitrary positions
     import numpy as np
 
     from logstash_filter_aggregate_spark.operators.sessionize import (
         _constant_override_clocks,
         _guarded_scan,
         _override_scan,
-        _slow_scan,
     )
 
     rng = np.random.RandomState(20260818)
@@ -505,30 +606,25 @@ def test_override_scan_equals_slow_scan_fuzz():
                 arr[mask] = 77.0
             return arr
         cust_to, cust_in = mk_override(), mk_override()
-        sc0 = float(ts[0] - rng.choice([0.0, 50.0, 1000.0])) if rng.rand() < 0.3 else None
-        seed = None
-        if sc0 is not None:
-            seed = np.full(n, np.nan)
-            seed[0] = sc0
-            action[0] = "create_or_update"
+        seed = _fuzz_seed_array(rng, np, n, ts, action)
 
         age_v = np.zeros(n, dtype="int32")
         eff = _constant_override_clocks(cust_to, cust_in, timeout, inactivity)
         if eff is not None:
-            _guarded_scan(ts, end_seg, action, sc0, age_v, eff[0], eff[1])
+            _guarded_scan(ts, end_seg, action, seed, age_v, eff[0], eff[1])
         else:
             _override_scan(
-                ts, end_seg, action, cust_to, cust_in, sc0, age_v, timeout, inactivity
+                ts, end_seg, action, cust_to, cust_in, seed, age_v, timeout, inactivity
             )
         age_s = np.zeros(n, dtype="int32")
-        _slow_scan(ts, end_seg, action, cust_to, cust_in, seed, age_s, timeout, inactivity)
+        _reference_scan(ts, end_seg, action, cust_to, cust_in, seed, age_s, timeout, inactivity)
         assert np.array_equal(age_v, age_s), (
-            trial, timeout, inactivity, sc0,
+            trial, timeout, inactivity,
             np.flatnonzero(age_v != age_s)[:5],
         )
 
 
-def test_override_scan_beats_slow_scan_on_hot_task():
+def test_override_scan_beats_reference_on_hot_task():
     # 1M-row hot task with a 1%-of-rows override rule (VERDICT r3 item
     # 3): the regime-hop tier must match the per-row replay exactly and
     # beat it decisively. Two shapes: a CONSTANT override value (the
@@ -544,10 +640,7 @@ def test_override_scan_beats_slow_scan_on_hot_task():
 
     import numpy as np
 
-    from logstash_filter_aggregate_spark.operators.sessionize import (
-        _override_scan,
-        _slow_scan,
-    )
+    from logstash_filter_aggregate_spark.operators.sessionize import _override_scan
 
     n = 1_000_000
     rng = np.random.RandomState(29)
@@ -570,7 +663,7 @@ def test_override_scan_beats_slow_scan_on_hot_task():
         age_v = np.zeros(n, dtype="int32")
         age_s = np.zeros(n, dtype="int32")
         _override_scan(ts, end_seg, action, cust_to, cust_in, None, age_v, timeout, inactivity)
-        _slow_scan(ts, end_seg, action, cust_to, cust_in, None, age_s, timeout, inactivity)
+        _reference_scan(ts, end_seg, action, cust_to, cust_in, None, age_s, timeout, inactivity)
         assert np.array_equal(age_v, age_s), vals
 
         v_s = slow_s = float("inf")
@@ -580,7 +673,7 @@ def test_override_scan_beats_slow_scan_on_hot_task():
             v_s = min(v_s, time.perf_counter() - t0)
         for _ in range(2):
             t0 = time.perf_counter()
-            _slow_scan(ts, end_seg, action, cust_to, cust_in, None, age_s, timeout, inactivity)
+            _reference_scan(ts, end_seg, action, cust_to, cust_in, None, age_s, timeout, inactivity)
             slow_s = min(slow_s, time.perf_counter() - t0)
         # ratio-only: an absolute wall bound here is machine-dependent
         # (flakes on loaded hosts); the vectorized-vs-replay ratio is the
