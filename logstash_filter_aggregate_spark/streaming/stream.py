@@ -139,182 +139,274 @@ def _make_stateful_fn(cfg: PipelineConfig):
     """Build the per-key stateful function: the reference's filter() hot
     path (aggregate.rb:179-255) over one task's micro-batch rows. Agg
     inputs arrive pre-projected as ``_v_<rule>_<name>`` columns so SQL
-    expressions (not just plain columns) work as agg sources."""
-    rules = [
-        dict(
-            rule_id=r.rule_id,
+    expressions (not just plain columns) work as agg sources.
+
+    The state machine runs vectorized (:func:`walk.walk_scan`): the scan
+    yields per-row code-ran flags + per-session close records, the
+    aggregation dictionary is a pandas groupby over the code-ran rows
+    keyed by session (one set of vectorized passes per agg name, not a
+    per-row dict update), and the carried ``map_json`` merges into the
+    carried session's batch aggregate by each function's combine rule.
+    Interpreted work is O(#sessions + #emit rows), not O(rows)."""
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.streaming.walk import CT0, END, OPEN, scan_chunk
+
+    rule_attrs = {
+        r.rule_id: dict(
             map_action=r.map_action,
             end_of_task=r.end_of_task,
             has_custom_timeout=r.custom_timeout is not None,
             has_custom_inactivity=r.custom_inactivity_timeout is not None,
-            aggs=[(s.name, s.fn, _agg_value_col(r.rule_id, s.name) if s.col else None) for s in r.aggs],
-            # new_event_block emissions (O18): fire exactly where the code
-            # runs — the state walk below IS the guard decision, so gated
-            # emit rules work here (unlike the stateless projection form)
-            emits=[(n, _emit_value_col(r.rule_id, n)) for n in (r.emit or {})],
         )
         for r in cfg.rules
-    ]
+    }
+    # agg specs merged by name across rules (a shared name accumulates
+    # into ONE map entry, interleaved in event order — spec parity with
+    # the per-row walk this replaced)
+    agg_specs: dict[str, tuple] = {}
+    for r in cfg.rules:
+        for s in r.aggs:
+            fn_, pairs = agg_specs.setdefault(s.name, (s.fn, []))
+            pairs.append(
+                (r.rule_id, _agg_value_col(r.rule_id, s.name) if s.col else None)
+            )
+    # new_event_block emissions (O18): fire exactly where the code runs —
+    # the state walk IS the guard decision, so gated emit rules work here
+    emit_rules = {
+        r.rule_id: [(n, _emit_value_col(r.rule_id, n)) for n in (r.emit or {})]
+        for r in cfg.rules if r.emit
+    }
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
     push = cfg.push_map_as_event_on_timeout
+    out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
+
+    def _norm(v):
+        if v is None or _is_nullish(v):
+            return None
+        return v.item() if hasattr(v, "item") else v
+
+    def _merge_carried(carried: dict, batch: dict) -> dict:
+        """Combine the state cell's accumulated map with this batch's
+        per-session aggregate, per agg function semantics."""
+        if not carried:
+            return batch
+        out = dict(carried)
+        for name, v in batch.items():
+            if name not in out:
+                out[name] = v
+                continue
+            fn_ = agg_specs[name][0] if name in agg_specs else "last"
+            if fn_ in ("count", "sum"):
+                out[name] = out[name] + v
+            elif fn_ == "min":
+                out[name] = min(out[name], v)
+            elif fn_ == "max":
+                out[name] = max(out[name], v)
+            elif fn_ == "first":
+                pass                            # carried first wins
+            elif fn_ == "collect_list":
+                out[name] = list(out[name]) + list(v)
+            elif fn_ == "collect_set":
+                cur = list(out[name])
+                out[name] = cur + [x for x in v if x not in cur]
+            else:                               # last
+                out[name] = v
+        return out
+
+    def _ts_us(sec: float) -> pd.Timestamp:
+        # the state keeps epoch-seconds doubles; float64 is exact to
+        # <0.25µs here but ns-residue appears on reconstruction and
+        # Arrow's safe µs cast rejects it — round("us") recovers the
+        # original microsecond exactly
+        return pd.Timestamp(sec, unit="s").round("us")
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         task_id = key[0]
         if task_id is None:
             # the null-task group: heartbeat/unmatched rows admitted only
             # to advance the watermark — no map, no state, no output
-            yield pd.DataFrame(columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            yield pd.DataFrame(columns=out_cols)
             return
         out_rows: list[dict] = []
 
-        def emit(sink: str, st: dict) -> None:
-            out_rows.append(
-                dict(
-                    task_id=task_id,
-                    sink=sink,
-                    # the state keeps epoch-seconds doubles; float64 is
-                    # exact to <0.25µs here but ns-residue appears on
-                    # reconstruction and Arrow's safe µs cast rejects it —
-                    # round("us") recovers the original microsecond exactly
-                    creation_ts=pd.Timestamp(st["creation_ts"], unit="s").round("us"),
-                    lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s").round("us"),
-                    nevents=st["nevents"],
-                    map_json=st["map_json"],
-                )
-            )
-
-        def unpack(tup) -> dict:
-            (c, l, n, mj, eto, ein) = tup
-            return dict(
-                creation_ts=c, lastevent_ts=l, nevents=n, map_json=mj,
-                eff_to=eto if eto is not None else timeout_s,
-                eff_in=ein if ein is not None else inactivity_s,
-            )
-
         if state.hasTimedOut:
-            st = unpack(state.get)
+            (c, l, nv, mj, _eto, _ein) = state.get
             if push:
-                emit("timeout", st)
+                out_rows.append(dict(
+                    task_id=task_id, sink="timeout",
+                    creation_ts=_ts_us(c), lastevent_ts=_ts_us(l),
+                    nevents=nv, map_json=mj,
+                ))
             state.remove()
-            yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+            yield pd.DataFrame(out_rows, columns=out_cols)
             return
 
-        st: dict | None = None
+        init = None
+        init_map: dict = {}
         if state.exists:
-            st = unpack(state.get)
+            (c, l, nv, mj, eto, ein) = state.get
+            init = (
+                c, l, nv,
+                eto if eto is not None else timeout_s,
+                ein if ein is not None else inactivity_s,
+            )
+            init_map = json.loads(mj) if mj else {}
 
         # Spark gives NO ordering guarantee across the Arrow chunks of one
         # key's group (a task whose micro-batch exceeds
         # arrow.maxRecordsPerBatch arrives as several chunks) — materialize
         # and sort ONCE so hot tasks keep event-time order end-to-end.
         chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
-            whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
-            # dict records: itertuples mangles underscore-prefixed names
-            for row in whole.to_dict("records"):
-                rule = next((r for r in rules if r["rule_id"] == row["_rule_id"]), None)
-                if rule is None:
-                    continue
-                ts_s = row["ts"].timestamp()
-                # event-time expiry on arrival (aggregate.rb:420-445, O12),
-                # honoring live per-map overrides (aggregate.rb:431-433)
-                if st is not None and (
-                    ts_s - st["creation_ts"] > st["eff_to"]
-                    or ts_s - st["lastevent_ts"] > st["eff_in"]
-                ):
-                    if push:
-                        emit("timeout", st)
-                    st = None
-                if st is None:
-                    if rule["map_action"] == "update":
-                        continue  # no map: update is a no-op (aggregate.rb:203)
-                    st = dict(
-                        creation_ts=ts_s, lastevent_ts=ts_s, nevents=0,
-                        map_json=json.dumps({}), eff_to=timeout_s, eff_in=inactivity_s,
-                    )
-                elif rule["map_action"] == "create":
-                    continue  # duplicate start keeps first map (aggregate.rb:216)
-                st["lastevent_ts"] = ts_s
-                st["nevents"] += 1
-                m = json.loads(st["map_json"])
-                for (name, fnm, col) in rule["aggs"]:
-                    v = row.get(col) if col else None
-                    if fnm == "count":
-                        m[name] = m.get(name, 0) + 1
-                    elif v is None or _is_nullish(v):
-                        continue
-                    elif fnm == "sum":
-                        m[name] = m.get(name, 0) + v
-                    elif fnm == "min":
-                        m[name] = v if name not in m else min(m[name], v)
-                    elif fnm == "max":
-                        m[name] = v if name not in m else max(m[name], v)
-                    elif fnm == "first":
-                        m.setdefault(name, v)
-                    elif fnm == "last":
-                        m[name] = v
-                    elif fnm in ("collect_list", "collect_set"):
-                        lst = m.setdefault(name, [])
-                        if fnm == "collect_list" or v not in lst:
-                            lst.append(v)
-                st["map_json"] = json.dumps(m, default=str)
-                if rule["emits"]:
-                    # the codeblock ran for this row: emit its
-                    # new_event_block payload (sink='emit', values in
-                    # map_json) — guard-suppressed rows never reach here
-                    # None/NaN/NaT normalize to real JSON null (batch
-                    # inline emissions carry SQL nulls; pandas NaN would
-                    # survive json.dumps as a non-standard NaN token and
-                    # NaT would stringify via default=str)
-                    payload = {
-                        n: (
-                            None if v is None or _is_nullish(v)
-                            else (v.item() if hasattr(v, "item") else v)
-                        )
-                        for n, c in rule["emits"]
-                        for v in [row.get(c)]
-                    }
-                    out_rows.append(
-                        dict(
-                            task_id=task_id, sink="emit",
-                            creation_ts=pd.Timestamp(st["creation_ts"], unit="s").round("us"),
-                            lastevent_ts=pd.Timestamp(st["lastevent_ts"], unit="s").round("us"),
-                            nevents=st["nevents"],
-                            map_json=json.dumps(payload, default=str),
-                        )
-                    )
-                ct = row.get("_custom_timeout") if rule["has_custom_timeout"] else None
-                ci = row.get("_custom_inactivity") if rule["has_custom_inactivity"] else None
-                ct = None if ct is None or ct != ct else float(ct)
-                ci = None if ci is None or ci != ci else float(ci)
-                if rule["end_of_task"]:
-                    emit("completed", st)   # aggregate.rb:240
-                    st = None
-                elif ct is not None and ct == 0.0:
-                    # map_meta.timeout = 0: immediate eviction, pushed only
-                    # when configured (spec:392-409; aggregate.rb:259-274)
-                    if push:
-                        emit("inline", st)
-                    st = None
-                else:
-                    # >0 overrides apply to the map's later expiry checks
-                    if ct is not None and ct > 0:
-                        st["eff_to"] = ct
-                    if ci is not None and ci > 0:
-                        st["eff_in"] = ci
+        if not chunks:
+            yield pd.DataFrame(columns=out_cols)
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
+        nrows = len(whole)
 
-        if st is not None:
-            state.update((
-                st["creation_ts"], st["lastevent_ts"], st["nevents"], st["map_json"],
-                st["eff_to"], st["eff_in"],
+        code_ran, res, sub_idx = scan_chunk(whole, rule_attrs, init, timeout_s, inactivity_s)
+        if sub_idx is None:
+            sess_full = res.sess_id
+        else:
+            sess_full = np.full(nrows, -1, dtype=np.int32)
+            sess_full[sub_idx] = res.sess_id
+        n_sess = len(res.sessions)
+        cr_idx = np.flatnonzero(code_ran)
+        sess_cr = sess_full[cr_idx]
+
+        # per-session aggregation dictionaries: one set of vectorized
+        # passes per agg name over the code-ran rows
+        sess_maps: list[dict] = [dict() for _ in range(n_sess)]
+        if cr_idx.size:
+            srid = whole["_rule_id"].to_numpy()[cr_idx]
+            for name, (fn_, pairs) in agg_specs.items():
+                if fn_ == "count":
+                    ind = np.zeros(len(cr_idx), dtype=bool)
+                    for rid_, _col in pairs:
+                        ind |= (srid == rid_).astype(bool)
+                    cnt = np.bincount(sess_cr[ind], minlength=n_sess)
+                    for si_ in np.flatnonzero(cnt):
+                        sess_maps[int(si_)][name] = int(cnt[si_])
+                    continue
+                parts = []
+                for rid_, col in pairs:
+                    if col is None:
+                        continue
+                    m = (srid == rid_).astype(bool)
+                    if not m.any():
+                        continue
+                    v = whole[col].iloc[cr_idx[m]]
+                    nn = v.notna().to_numpy()
+                    if not nn.any():
+                        continue
+                    parts.append(pd.DataFrame({
+                        "sess": sess_cr[m][nn],
+                        "pos": cr_idx[m][nn],
+                        "val": v.to_numpy()[nn],
+                    }))
+                if not parts:
+                    continue
+                dfp = parts[0] if len(parts) == 1 else pd.concat(
+                    parts, ignore_index=True
+                ).sort_values("pos", kind="mergesort")
+                g = dfp.groupby("sess")["val"]
+                if fn_ == "sum":
+                    agg_res = g.sum()
+                elif fn_ == "min":
+                    agg_res = g.min()
+                elif fn_ == "max":
+                    agg_res = g.max()
+                elif fn_ == "first":
+                    agg_res = g.first()
+                elif fn_ == "last":
+                    agg_res = g.last()
+                elif fn_ == "collect_list":
+                    agg_res = g.agg(list)
+                else:                            # collect_set: stable dedupe
+                    agg_res = g.agg(lambda s: list(dict.fromkeys(s)))
+                for si_, v_ in agg_res.items():
+                    sess_maps[int(si_)][name] = (
+                        [_norm(x) for x in v_] if isinstance(v_, list) else _norm(v_)
+                    )
+        if init is not None and n_sess:
+            sess_maps[0] = _merge_carried(init_map, sess_maps[0])
+
+        # closed sessions -> sink rows
+        for si_, (creation, last_ts, kind, _crow) in enumerate(res.sessions):
+            if kind == OPEN:
+                continue
+            if kind == END:
+                sink = "completed"               # aggregate.rb:240
+            elif kind == CT0:
+                # map_meta.timeout = 0: immediate eviction, pushed only
+                # when configured (spec:392-409; aggregate.rb:259-274)
+                sink = "inline" if push else None
+            else:
+                sink = "timeout" if push else None
+            if sink is None:
+                continue
+            out_rows.append(dict(
+                task_id=task_id, sink=sink,
+                creation_ts=_ts_us(creation), lastevent_ts=_ts_us(last_ts),
+                nevents=int(res.nevents[si_]),
+                map_json=json.dumps(sess_maps[si_], default=str),
             ))
-            expiry_s = min(st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"])
-            state.setTimeoutTimestamp(_clamped_expiry_ms(expiry_s, state))
+
+        # emit rows (sink='emit'): one per code-ran row of an emit rule,
+        # carrying the state AS OF that row (nevents so far, own ts)
+        if emit_rules and cr_idx.size:
+            nev_sofar = np.empty(len(cr_idx), dtype="int64")
+            if len(cr_idx):
+                change = np.empty(len(cr_idx), dtype=bool)
+                change[0] = True
+                change[1:] = sess_cr[1:] != sess_cr[:-1]
+                grp_start = np.flatnonzero(change)
+                sizes = np.diff(np.append(grp_start, len(cr_idx)))
+                offsets = np.repeat(grp_start, sizes)
+                nev_sofar = np.arange(len(cr_idx), dtype="int64") - offsets + 1
+                if init is not None:
+                    nev_sofar[sess_cr == 0] += int(init[2])
+            creations = np.asarray([s[0] for s in res.sessions])
+            for rid_, ems in emit_rules.items():
+                m = (srid == rid_).astype(bool)
+                if not m.any():
+                    continue
+                rows_pos = cr_idx[m]
+                # None/NaN/NaT normalize to real JSON null (batch inline
+                # emissions carry SQL nulls; pandas NaN would survive
+                # json.dumps as a non-standard NaN token and NaT would
+                # stringify via default=str)
+                colvals = {
+                    n: whole[c].to_numpy(dtype=object)[rows_pos] for n, c in ems
+                }
+                ts_vals = whole["ts"].iloc[rows_pos].to_numpy()
+                s_cre = creations[sess_cr[m]]
+                s_nev = nev_sofar[m]
+                for k in range(len(rows_pos)):
+                    payload = {n: _norm(colvals[n][k]) for n, _c in ems}
+                    out_rows.append(dict(
+                        task_id=task_id, sink="emit",
+                        creation_ts=_ts_us(float(s_cre[k])),
+                        lastevent_ts=pd.Timestamp(ts_vals[k]),
+                        nevents=int(s_nev[k]),
+                        map_json=json.dumps(payload, default=str),
+                    ))
+
+        if res.final is not None:
+            creation, last, nev, eff_to, eff_in = res.final
+            state.update((
+                creation, last, int(nev),
+                json.dumps(sess_maps[n_sess - 1], default=str),
+                eff_to, eff_in,
+            ))
+            state.setTimeoutTimestamp(
+                _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
+            )
         elif state.exists:
             state.remove()
-        yield pd.DataFrame(out_rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+        yield pd.DataFrame(out_rows, columns=out_cols)
 
     return fn
 
@@ -551,12 +643,21 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
     tagged where the code would raise, suppressed where it cancels. The
     state cell reuses STATE_SCHEMA with an empty map (aggregates are the
     session engine's concern, not the passthrough's); event-time timers
-    are registered purely so dead tasks' state is reclaimed."""
-    rules = {
+    are registered purely so dead tasks' state is reclaimed.
+
+    The state machine runs vectorized (:func:`walk.walk_scan` — the
+    numpy session-hop shared with the batch exact tiers' structure), so
+    a hot key's million-row micro-batch costs O(#sessions · log n)
+    interpreted work plus numpy passes, not a per-row Python loop."""
+    import numpy as np
+
+    from logstash_filter_aggregate_spark.streaming.walk import scan_chunk
+
+    rule_attrs = {
         r.rule_id: dict(
             map_action=r.map_action,
             end_of_task=r.end_of_task,
-            cancel=r.cancel,
+            cancel=bool(r.cancel),
             has_custom_timeout=r.custom_timeout is not None,
             has_custom_inactivity=r.custom_inactivity_timeout is not None,
             req_cols=[
@@ -566,99 +667,79 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
         )
         for r in cfg.rules
     }
+    cancel_map = {r: a["cancel"] for r, a in rule_attrs.items()}
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
     n_out = len(out_cols) + 1
+    _EXC = ["_aggregateexception"]
+    _EMPTY: list = []
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
             return
-        st = None
+        init = None
         if state.exists:
             (c, l, n, _mj, eto, ein) = state.get
-            st = dict(
-                creation_ts=c, lastevent_ts=l, nevents=n,
-                eff_to=eto if eto is not None else timeout_s,
-                eff_in=ein if ein is not None else inactivity_s,
+            init = (
+                c, l, n,
+                eto if eto is not None else timeout_s,
+                ein if ein is not None else inactivity_s,
             )
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
             return
+        # Spark gives NO ordering guarantee across the Arrow chunks of one
+        # key's group — materialize and sort ONCE (hot tasks keep
+        # event-time order end-to-end)
         whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
-        keep: list[int] = []
-        tags_out: list[list] = []
-        for i, row in enumerate(whole.to_dict("records")):
-            rule = rules.get(row["_rule_id"])
-            base_tags = list(row["parse_tags"]) if row["parse_tags"] is not None else []
-            if rule is None:
-                keep.append(i)
-                tags_out.append(base_tags)
-                continue
-            ts_s = row["ts"].timestamp()
-            # event-time expiry on arrival runs BEFORE the guard
-            # (aggregate.rb:194-199)
-            if st is not None and (
-                ts_s - st["creation_ts"] > st["eff_to"]
-                or ts_s - st["lastevent_ts"] > st["eff_in"]
-            ):
-                st = None
-            if st is None:
-                if rule["map_action"] == "update":
-                    # no map: code never runs — no tag, no cancel
-                    keep.append(i)
-                    tags_out.append(base_tags)
-                    continue
-                st = dict(
-                    creation_ts=ts_s, lastevent_ts=ts_s, nevents=0,
-                    eff_to=timeout_s, eff_in=inactivity_s,
-                )
-            elif rule["map_action"] == "create":
-                # duplicate start: return before any code side-effect
-                keep.append(i)
-                tags_out.append(base_tags)
-                continue
-            st["lastevent_ts"] = ts_s
-            st["nevents"] += 1
-            # the code RAN for this row
-            if rule["cancel"]:
-                pass  # event.cancel(): consumed, not passed through (U3)
-            else:
-                exc = any(
-                    row.get(c) is None or _is_nullish(row.get(c))
-                    for c in rule["req_cols"]
-                )
-                keep.append(i)
-                tags_out.append(
-                    base_tags + ["_aggregateexception"] if exc else base_tags
-                )
-            ct = row.get("_custom_timeout") if rule["has_custom_timeout"] else None
-            ci = row.get("_custom_inactivity") if rule["has_custom_inactivity"] else None
-            ct = None if ct is None or ct != ct else float(ct)
-            ci = None if ci is None or ci != ci else float(ci)
-            if rule["end_of_task"] or (ct is not None and ct == 0.0):
-                st = None
-            else:
-                if ct is not None and ct > 0:
-                    st["eff_to"] = ct
-                if ci is not None and ci > 0:
-                    st["eff_in"] = ci
+        nrows = len(whole)
 
-        if st is not None:
-            state.update((
-                st["creation_ts"], st["lastevent_ts"], st["nevents"], "{}",
-                st["eff_to"], st["eff_in"],
-            ))
-            expiry_s = min(
-                st["creation_ts"] + st["eff_to"], st["lastevent_ts"] + st["eff_in"]
+        code_ran, res, _sub = scan_chunk(whole, rule_attrs, init, timeout_s, inactivity_s)
+        rid_np = whole["_rule_id"].to_numpy()
+        cancel_arr = (
+            whole["_rule_id"].map(cancel_map).fillna(False).to_numpy(dtype=bool)
+        )
+        exc = np.zeros(nrows, dtype=bool)
+        for rule_id, a in rule_attrs.items():
+            if not a["req_cols"]:
+                continue
+            m = (rid_np == rule_id).astype(bool)
+            if not m.any():
+                continue
+            bad = np.zeros(nrows, dtype=bool)
+            for c in a["req_cols"]:
+                bad |= whole[c].isna().to_numpy()
+            exc |= m & bad
+
+        keep = ~(code_ran & cancel_arr)        # U3: consumed where code ran
+        tag_exc = code_ran & exc               # O19: tagged where code ran
+
+        if res.final is not None:
+            creation, last, nev, eff_to, eff_in = res.final
+            state.update((creation, last, int(nev), "{}", eff_to, eff_in))
+            state.setTimeoutTimestamp(
+                _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
             )
-            state.setTimeoutTimestamp(_clamped_expiry_ms(expiry_s, state))
         elif state.exists:
             state.remove()
-        out = whole.iloc[keep][out_cols].copy()
+
+        kidx = np.flatnonzero(keep)
+        out = whole.iloc[kidx][out_cols].copy()
+        pt = whole["parse_tags"].to_numpy(dtype=object)
+        te = tag_exc[kidx]
+        tags_out: list = []
+        ap = tags_out.append
+        for b, e in zip(pt[kidx], te):
+            if b is None or len(b) == 0:
+                ap(_EXC if e else _EMPTY)
+            elif e:
+                ap(list(b) + _EXC)
+            else:
+                ap(list(b))
         out["tags"] = pd.Series(tags_out, index=out.index, dtype=object)
         assert len(out.columns) == n_out
         yield out
