@@ -37,16 +37,20 @@ def run_leg(master: str, zpath: str, input_path: str, buckets: str, tag: str) ->
     os.makedirs(ev_dir, exist_ok=True)
     os.makedirs(LOCAL_DIR, exist_ok=True)
     env = dict(os.environ, SPARK_HOME=os.environ.get("SPARK_HOME", "/opt/spark"))
-    cmd = [
-        SPARK_SUBMIT, "--master", master,
-        "--conf", "spark.sql.shuffle.partitions=32",
-        "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.driver.memory=8g",
-        "--conf", f"spark.local.dir={LOCAL_DIR}",
-        "--conf", "spark.ui.enabled=false",
-        "--conf", "spark.eventLog.enabled=true",
-        "--conf", "spark.eventLog.compress=false",
-        "--conf", f"spark.eventLog.dir=file://{ev_dir}",
+    conf = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.driver.memory": "8g",
+        "spark.local.dir": LOCAL_DIR,
+        "spark.ui.enabled": "false",
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",
+        "spark.eventLog.dir": f"file://{ev_dir}",
+    }
+    cmd = [SPARK_SUBMIT, "--master", master]
+    for k, v in conf.items():
+        cmd += ["--conf", f"{k}={v}"]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "tools", "submit_job.py"),
         "--input", input_path, "--config", "example3", "--timeout", "300",
@@ -60,6 +64,10 @@ def run_leg(master: str, zpath: str, input_path: str, buckets: str, tag: str) ->
     d = json.loads(line)
     d["master"] = master
     d["tag"] = tag
+    # record the effective conf per leg so raw artifacts are auditable
+    d["conf"] = {k: v for k, v in conf.items()
+                 if k not in ("spark.local.dir", "spark.eventLog.dir")}
+    d["conf_overrides"] = {}
     logs = [f for f in os.listdir(ev_dir) if not f.startswith(".")]
     d["stages"] = profile(os.path.join(ev_dir, logs[0])) if logs else []
     print(json.dumps({k: d[k] for k in ("tag", "master", "wall_s", "turns_per_sec")}), flush=True)

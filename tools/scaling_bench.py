@@ -56,16 +56,23 @@ def materialize_input(turns: int) -> str:
     return path
 
 
-def run_at(master: str, zpath: str, input_path: str, config: str, timeout_s: float) -> dict:
+BASE_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.driver.memory": "8g",
+    "spark.ui.enabled": "false",
+}
+
+
+def run_at(master: str, zpath: str, input_path: str, config: str, timeout_s: float,
+           extra_conf: dict | None = None, tag: str = "pair") -> dict:
     os.makedirs(LOCAL_DIR, exist_ok=True)
     env = dict(os.environ, SPARK_HOME=os.environ.get("SPARK_HOME", "/opt/spark"))
-    cmd = [
-        SPARK_SUBMIT, "--master", master,
-        "--conf", "spark.sql.shuffle.partitions=32",
-        "--conf", "spark.sql.adaptive.enabled=true",
-        "--conf", "spark.driver.memory=8g",
-        "--conf", f"spark.local.dir={LOCAL_DIR}",
-        "--conf", "spark.ui.enabled=false",
+    conf = dict(BASE_CONF, **{"spark.local.dir": LOCAL_DIR}, **(extra_conf or {}))
+    cmd = [SPARK_SUBMIT, "--master", master]
+    for k, v in conf.items():
+        cmd += ["--conf", f"{k}={v}"]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "tools", "submit_job.py"),
         "--input", input_path, "--config", config, "--timeout", str(timeout_s),
@@ -79,6 +86,12 @@ def run_at(master: str, zpath: str, input_path: str, config: str, timeout_s: flo
     d = json.loads(line)
     d["total_wall_s"] = round(time.time() - t0, 1)
     d["master"] = master
+    d["tag"] = tag
+    # every leg records its FULL effective conf so raw-artifact pairs are
+    # auditable (an r4 verdict nit: a rejected conf-experiment pair was
+    # indistinguishable from the default-conf pairs in the raw jsonl)
+    d["conf"] = {k: v for k, v in conf.items() if k != "spark.local.dir"}
+    d["conf_overrides"] = dict(extra_conf or {})
     return d
 
 
@@ -133,7 +146,7 @@ def main() -> None:
     masters = {"N": "local-cluster[1,2,8192]", "4N": "local-cluster[4,2,8192]"}
     runs = {}
     for label, master in masters.items():
-        runs[label] = run_at(master, zpath, input_path, "example1", 3600.0)
+        runs[label] = run_at(master, zpath, input_path, "example1", 3600.0, tag=label)
         print(json.dumps(runs[label]), flush=True)
 
     md = write_md(runs, sf_dir)
