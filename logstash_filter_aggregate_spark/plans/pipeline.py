@@ -167,12 +167,41 @@ def tagged_exception_keys(guarded: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
+def _rejoinable_heavy_cols(
+    classified: DataFrame, cfg: PipelineConfig, raw: DataFrame | None
+) -> list[str]:
+    """Columns safe to DROP from the shared-subtree checkpoint and rejoin
+    from the raw scan afterwards: present untouched in the raw input
+    (so the scan can restore them by row key) and never referenced by a
+    post-checkpoint expression (agg inputs / emit exprs evaluate on the
+    checkpointed frame in :func:`narrow_for_correlation` and
+    :func:`_exception_flag`). In the transcript pipeline this is the raw
+    ``text`` column — the single widest column of the stream."""
+    if raw is None:
+        return []
+    import re as _re
+
+    referenced = set()
+    for r in cfg.rules:
+        for s in r.aggs:
+            if s.col:
+                referenced.update(_re.findall(r"[A-Za-z_]\w*", s.col))
+        for e in (r.emit or {}).values():
+            referenced.update(_re.findall(r"[A-Za-z_]\w*", e))
+    return [
+        c for c in ("text",)
+        if c in raw.columns and c in classified.columns and c not in referenced
+        and c not in ("conv_id", "turn_idx", "ts")
+    ]
+
+
 def passthrough_shared_subtree(
     classified: DataFrame,
     cfg: PipelineConfig,
     open_maps: DataFrame | None,
     gated_cancel: bool,
     gated_ids: list[str],
+    raw: DataFrame | None = None,
 ) -> DataFrame:
     """Single-job passthrough for guard-gated configs without
     ``cache_sessions``: the classified stream is lazily
@@ -188,6 +217,20 @@ def passthrough_shared_subtree(
     wide rows drag text through ~8 sequential Window nodes), 8.5s for a
     columnar ``persist`` of the parsed frame (cache-build cost).
 
+    Round 5 also measured a NARROW checkpoint + row-key text rejoin
+    (``SPARK_GRAFT_PT_SHAPE=narrowck``): drop the raw ``text`` column
+    from the checkpoint (the stream's single widest column, restorable
+    from the raw scan) and inner-join it back onto the final passthrough
+    by ``(conv_id, turn_idx)``. Four alternating steady reps at
+    sf0.1/local[32]: fullck 6.8/7.0s (min/median) vs narrowck 7.0/7.3s —
+    a wash; the text shuffle-join (sort + exchange of the text bytes)
+    costs what the narrow checkpoint write/reads save, and on a real
+    cluster the rejoin moves text over the NETWORK where the full-width
+    checkpoint is executor-local disk. Default stays ``fullck``; the
+    narrow shape is kept behind the env var as a measured alternative
+    for deployments where local disk, not network, is the scarce
+    resource (both shapes parity-tested).
+
     Scale notes: the checkpoint materializes the parsed stream once to
     executor-local storage — the same magnitude of local I/O as one
     full-stream shuffle leg, with no network. ``localCheckpoint``
@@ -201,7 +244,19 @@ def passthrough_shared_subtree(
     from logstash_filter_aggregate_spark.operators.correlate import narrow_for_correlation
     from logstash_filter_aggregate_spark.plans.resume import inject_seeds
 
-    ck = classified.localCheckpoint(eager=False)
+    import os as _os
+
+    shape = _os.environ.get("SPARK_GRAFT_PT_SHAPE", "fullck")
+    heavy = _rejoinable_heavy_cols(classified, cfg, raw) if shape == "narrowck" else []
+    out_cols = [
+        c for c in classified.columns
+        if c not in (
+            "_rule_id", "_task_id", "_end_flag", "_action", "_cancel",
+            "_custom_timeout", "_custom_inactivity", "parse_tags",
+        )
+    ] + ["tags"]
+
+    ck = classified.drop(*heavy).localCheckpoint(eager=False)
     correlated_in = inject_seeds(narrow_for_correlation(ck, cfg), open_maps, cfg)
     guarded = apply_guards(sessionize(correlated_in, cfg), cfg)
     if gated_cancel:
@@ -211,9 +266,14 @@ def passthrough_shared_subtree(
         incl_df = guarded.where(F.col("_rule_id").isin(gated_ids)).select(
             "conv_id", "turn_idx", F.col("_included").alias("_g_included")
         )
-        return passthrough_stream(ck, cfg, incl_df=incl_df)
-    tagged_df = tagged_exception_keys(guarded, cfg)
-    return passthrough_stream(ck, cfg, tagged_df=tagged_df)
+        pt = passthrough_stream(ck, cfg, incl_df=incl_df)
+    else:
+        tagged_df = tagged_exception_keys(guarded, cfg)
+        pt = passthrough_stream(ck, cfg, tagged_df=tagged_df)
+    if heavy:
+        pt = pt.join(raw.select("conv_id", "turn_idx", *heavy), ["conv_id", "turn_idx"])
+        pt = pt.select(*out_cols)
+    return pt
 
 
 def passthrough_stream(
@@ -459,6 +519,7 @@ def run_pipeline(
                     r.rule_id for r in gated
                     if r.cancel or any(s.required and s.col for s in r.aggs)
                 ],
+                raw=transcripts if not pre_parsed else None,
             )
             if shared_pt
             else passthrough_stream(

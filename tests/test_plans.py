@@ -126,6 +126,52 @@ def test_guard_gated_passthrough_plan_shapes(spark, transcripts_path):
     assert "Window" not in plain_plan, plain_plan
 
 
+def test_narrowck_passthrough_shape_parity(spark, transcripts_path, monkeypatch):
+    # SPARK_GRAFT_PT_SHAPE=narrowck: the shared-subtree checkpoint drops
+    # the raw text column and rejoins it from the raw scan by row key —
+    # measured a wash vs the default full-width checkpoint (docstring),
+    # kept as a disk-vs-network tradeoff knob. Same rows, same columns,
+    # same order of columns; the checkpoint must NOT carry text (the
+    # rejoin scan is the only parquet leg allowed to).
+    from logstash_filter_aggregate_spark.config import CorrelationRule, PipelineConfig
+
+    t = spark.read.parquet(transcripts_path)
+    base = run_pipeline(spark, t, example1_config(timeout=3600.0)).passthrough
+    monkeypatch.setenv("SPARK_GRAFT_PT_SHAPE", "narrowck")
+    narrow = run_pipeline(spark, t, example1_config(timeout=3600.0)).passthrough
+    assert narrow.columns == base.columns
+    # the rejoin leg is the ONLY parquet scan in the narrow plan, and it
+    # reads just the row key + text (everything else rides the checkpoint)
+    nplan = _plan(narrow)
+    scan_lines = [ln for ln in nplan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, nplan
+    for ln in scan_lines:
+        schema = ln.split("ReadSchema:", 1)[1]
+        assert "text" in schema and "role" not in schema, ln
+    key = ["conv_id", "turn_idx"]
+    sel = key + [F.to_json("tags").alias("tags"), "text"]
+    a = {tuple(r) for r in base.select(*sel).collect()}
+    b = {tuple(r) for r in narrow.select(*sel).collect()}
+    assert a == b
+
+    # gated-cancel delivery under narrowck too
+    cancel_cfg = PipelineConfig(
+        task_id="%{taskid}",
+        rules=(
+            CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+            CorrelationRule("err", "err_tool is not null", map_action="update", cancel=True),
+        ),
+        timeout=3600.0,
+    )
+    narrow_c = run_pipeline(spark, t, cancel_cfg).passthrough
+    monkeypatch.delenv("SPARK_GRAFT_PT_SHAPE")
+    base_c = run_pipeline(spark, t, cancel_cfg).passthrough
+    assert narrow_c.columns == base_c.columns
+    ac = {tuple(r) for r in base_c.select(*sel).collect()}
+    bc = {tuple(r) for r in narrow_c.select(*sel).collect()}
+    assert ac == bc
+
+
 def test_guard_gated_cached_job_set_runs_correlation_once(spark, transcripts_path):
     # Multi-bucket jobs (cache_sessions=True): the narrow correlated
     # frame is persisted, so the correlation stage materializes ONCE
