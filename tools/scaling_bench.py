@@ -15,8 +15,9 @@ the shuffle/sort-heavy pipeline at ~0.5-0.55). On a real cluster each
 added node brings its own memory channels, so small-executor scaling is
 the faithful emulation; the saturation measurements are reported too.
 
-Writes BENCH/BASELINE.md. Usage:
-    python tools/scaling_bench.py [sf_dir] [turns]
+Appends auditable raw legs (each with its full effective conf) to a
+round-tagged jsonl; BENCH/BASELINE.md is curated by hand. Usage:
+    python tools/scaling_bench.py [turns] [pairs] [raw_out.jsonl]
 """
 
 from __future__ import annotations
@@ -95,65 +96,35 @@ def run_at(master: str, zpath: str, input_path: str, config: str, timeout_s: flo
     return d
 
 
-def write_md(runs: dict, sf_dir: str) -> str:
-    tp1 = runs["N"]["turns_per_sec"]
-    tp4 = runs["4N"]["turns_per_sec"]
-    eff = round(tp4 / tp1 / 4.0, 3)
-    md = f"""# BENCH/BASELINE — N vs 4N executor scaling evidence
-
-Identical job (`tools/submit_job.py --config example1`: full grok parse
--> sessionize -> correlate job materializing the session table) via
-`spark-submit --py-files dist/logstash_filter_aggregate_spark.zip`,
-identical input ({runs['N']['turns']:,} generated transcript turns incl. one
-hot conversation with ~3% of all rows), two cluster sizes using
-`local-cluster` (real separate executor JVMs). Sandbox protocol per
-BASELINE.md; sf reference {sf_dir}.
-
-| run | master (executors x cores) | turns | pipeline wall s | turns/sec | efficiency |
-|---|---|---|---|---|---|
-| N  | local-cluster[1,2] | {runs['N']['turns']:,} | {runs['N']['wall_s']} | {tp1:,} | 1.0 (base) |
-| 4N | local-cluster[4,2] | {runs['4N']['turns']:,} | {runs['4N']['wall_s']} | {tp4:,} | **{eff}** (target >= 0.8) |
-
-efficiency = (turns/sec at 4N / turns/sec at N) / 4 = {eff}
-
-## Why 2-core executors
-
-All "executors" share one VM here. Measured saturation on this box:
-pure cache-resident CPU work scales 8 -> 32 threads at 0.79 efficiency;
-the shuffle/sort-heavy pipeline at ~0.5 (local[8] 306 s vs local[32]
-155 s on the same 40M-turn input) — single-box memory bandwidth, not
-the plan, is the 32-thread ceiling. Real clusters add memory channels
-with every node, so small executors below the saturation knee are the
-faithful emulation of multi-node scaling; the plan itself shuffles the
-event stream exactly once (see README / .explain) and has no serial
-stage apart from ~seconds of driver planning.
-
-Raw JSON:
-```
-{json.dumps(runs['N'])}
-{json.dumps(runs['4N'])}
-```
-"""
-    return md
-
-
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    turns = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000_000
+    """python tools/scaling_bench.py [turns] [pairs] [raw_out.jsonl]
+
+    Runs `pairs` back-to-back N/4N pairs and appends every leg (with its
+    full conf) to raw_out. Does NOT rewrite BENCH/BASELINE.md (that file
+    is curated by hand since round 4); prints the per-pair summary."""
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
+    pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    raw_out = sys.argv[3] if len(sys.argv) > 3 else os.path.join(REPO, "BENCH", "scaling_raw.jsonl")
     zpath = build_zip()
     input_path = materialize_input(turns)
 
+    os.makedirs(os.path.dirname(raw_out), exist_ok=True)
     masters = {"N": "local-cluster[1,2,8192]", "4N": "local-cluster[4,2,8192]"}
-    runs = {}
-    for label, master in masters.items():
-        runs[label] = run_at(master, zpath, input_path, "example1", 3600.0, tag=label)
-        print(json.dumps(runs[label]), flush=True)
-
-    md = write_md(runs, sf_dir)
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
-    print(md)
+    for p in range(pairs):
+        runs = {}
+        for label, master in masters.items():
+            runs[label] = run_at(master, zpath, input_path, "example1", 3600.0,
+                                 tag=f"pair{p + 1}_{label}")
+            with open(raw_out, "a") as f:
+                f.write(json.dumps(runs[label]) + "\n")
+            print(json.dumps(runs[label]), flush=True)
+        eff = round(runs["4N"]["turns_per_sec"] / runs["N"]["turns_per_sec"] / 4.0, 3)
+        print(json.dumps({
+            "pair": p + 1,
+            "tp_N": runs["N"]["turns_per_sec"],
+            "tp_4N": runs["4N"]["turns_per_sec"],
+            "efficiency": eff,
+        }), flush=True)
 
 
 if __name__ == "__main__":
