@@ -521,3 +521,305 @@ def test_fuzz_resume_split_window_mode(spark):
                 getattr(ref, bucket)
             ), (shape, bucket, str(split))
         assert fp(b.open) == fp(ref.open), (shape, str(split))
+
+
+# ---------------------------------------------------------------------------
+# streaming_passthrough fuzz (O19 + U3 over a stream, guard-gated)
+
+class _PtRule:
+    """Per-kind behavior for the passthrough simulator: what the
+    reference codeblock would DO with the row (aggregate.rb:179-254),
+    plus whether the engine's code-ran side effects apply — ``cancel``
+    drops the row, a null ``required`` agg input tags it."""
+
+    def __init__(self, action="create_or_update", end=False, custom_to=None,
+                 custom_in=None, cancel=False, req_null=False):
+        self.action = action
+        self.end = end
+        self.custom_to = custom_to
+        self.custom_in = custom_in
+        self.cancel = cancel
+        self.req_null = req_null
+
+
+def simulate_passthrough(rows, rules, timeout, inactivity):
+    """Independent per-event replay of the reference filter for the
+    PASSTHROUGH observables: for each input row (kind, ts) in ts order,
+    decide kept/dropped and exception-tagged. State transitions mirror
+    ``simulate`` above (expiry-on-arrival before the guard, duplicate
+    ``create`` no-op, ``update`` without a map no-op, ``end_of_task``
+    deletes, ``custom_timeout=0`` evicts immediately, >0 overrides);
+    the row-level consequences mirror aggregate.rb:251-254 (cancel
+    consumes the row only where the code ran) and the engine's O19
+    contract (a row whose required agg input is NULL is tagged only
+    where the code ran). Returns [(idx, kept, tagged)]."""
+    out = []
+    st = None
+    for idx, (kind, ts, _val) in enumerate(rows):
+        rule = rules.get(kind)
+        if rule is None:
+            out.append((idx, True, False))  # non-participating branch
+            continue
+        if st is not None and (
+            ts - st["creation"] > st["eff_to"] or ts - st["last"] > st["eff_in"]
+        ):
+            st = None  # event-time expiry BEFORE the guard
+        code_ran = True
+        if st is None:
+            if rule.action == "update":
+                code_ran = False  # no map: total no-op (aggregate.rb:203)
+            else:
+                st = dict(creation=ts, last=ts, eff_to=timeout, eff_in=inactivity)
+        elif rule.action == "create":
+            code_ran = False  # duplicate start (aggregate.rb:216)
+        if not code_ran:
+            out.append((idx, True, False))
+            continue
+        st["last"] = ts
+        out.append((idx, not rule.cancel, rule.req_null))
+        if rule.end or (rule.custom_to is not None and rule.custom_to == 0):
+            st = None
+            continue
+        if rule.custom_to is not None and rule.custom_to > 0:
+            st["eff_to"] = rule.custom_to
+        if rule.custom_in is not None and rule.custom_in > 0:
+            st["eff_in"] = rule.custom_in
+    return out
+
+
+_LINES["sqlx"] = "INFO - {tid} - SQL - q"          # SQL rule row, NULL duration
+_LINES["noise"] = "INFO - {tid} - PING - ok"       # matches no rule
+
+
+def _pt_shapes():
+    """Guard-gated passthrough config shapes: every shape has at least
+    one update-guarded cancel or required-agg rule, so streaming takes
+    the keyed state-walk tier (not the stateless fallback)."""
+    req_sum = (AggSpec("dur", "sum", "duration", required=True),)
+    return {
+        "pt_guarded_cancel": (
+            dict(
+                rules=(
+                    CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+                    CorrelationRule("sql", "logger = 'SQL'", map_action="update",
+                                    aggs=req_sum),
+                    CorrelationRule("click", "click_target is not null",
+                                    map_action="update", cancel=True),
+                    CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                    end_of_task=True),
+                ),
+                timeout=250.0, inactivity_timeout=120.0,
+            ),
+            {
+                "start": _PtRule(action="create"),
+                "sql": _PtRule(action="update"),
+                "sqlx": _PtRule(action="update", req_null=True),
+                "click": _PtRule(action="update", cancel=True),
+                "end": _PtRule(action="update", end=True),
+            },
+            ["start", "sql", "sqlx", "click", "end", "noise"],
+        ),
+        "pt_custom_mix": (
+            dict(
+                rules=(
+                    CorrelationRule("start", "logger = 'TASK_START'", map_action="create",
+                                    custom_timeout="120"),
+                    CorrelationRule("sql", "logger = 'SQL'", map_action="update",
+                                    aggs=req_sum),
+                    CorrelationRule("err", "err_code is not null", map_action="update",
+                                    custom_inactivity_timeout="60"),
+                    CorrelationRule("end", "logger = 'TASK_END'", map_action="update",
+                                    end_of_task=True),
+                ),
+                timeout=300.0, inactivity_timeout=200.0,
+            ),
+            {
+                "start": _PtRule(action="create", custom_to=120.0),
+                "sql": _PtRule(action="update"),
+                "sqlx": _PtRule(action="update", req_null=True),
+                "err": _PtRule(action="update", custom_in=60.0),
+                "end": _PtRule(action="update", end=True),
+            },
+            ["start", "sql", "sqlx", "err", "end", "noise"],
+        ),
+        "pt_ct0_cancel": (
+            dict(
+                rules=(
+                    CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+                    CorrelationRule("err", "err_code is not null", map_action="update",
+                                    custom_timeout="0"),
+                    CorrelationRule("click", "click_target is not null",
+                                    map_action="update", cancel=True),
+                    CorrelationRule("sql", "logger = 'SQL'", map_action="update",
+                                    aggs=req_sum),
+                ),
+                timeout=400.0, inactivity_timeout=150.0,
+            ),
+            {
+                "start": _PtRule(action="create"),
+                "err": _PtRule(action="update", custom_to=0.0),
+                "click": _PtRule(action="update", cancel=True),
+                "sql": _PtRule(action="update"),
+                "sqlx": _PtRule(action="update", req_null=True),
+            },
+            ["start", "err", "click", "sql", "sqlx", "noise"],
+        ),
+    }
+
+
+def test_fuzz_streaming_passthrough_matches_simulator(spark, tmp_path):
+    # the eighth fuzz family: streaming_passthrough's gated state walk vs
+    # the independent per-row passthrough simulator, replayed in TWO
+    # micro-batches split at a ts boundary (carried state cell crosses
+    # the restart). Every row of every stream is accounted for: kept
+    # rows carry exactly the expected tags, cancelled rows are absent.
+    import warnings
+
+    from logstash_filter_aggregate_spark.config import GuardedWindowModeWarning
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
+
+    rng = random.Random(20260823)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    for shape, (cfg_kw, sim_rules, kinds) in _pt_shapes().items():
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", GuardedWindowModeWarning)
+            cfg = PipelineConfig(task_id="%{taskid}", **cfg_kw)
+        streams = {
+            f"sp{shape}{i:02d}": _scenario_rows(rng, kinds, n_max=25) for i in range(10)
+        }
+        data, wm = [], 0.0
+        for tid, rows in streams.items():
+            for j, (kind, ts, val) in enumerate(rows):
+                data.append((tid, j, "user", _LINES[kind].format(tid=tid, val=val),
+                             "none", T0 + dt.timedelta(seconds=ts)))
+                wm = max(wm, ts)
+        split = T0 + dt.timedelta(seconds=rng.uniform(wm * 0.3, wm * 0.7))
+        src = str(tmp_path / f"src_{shape}")
+        out_dir = str(tmp_path / f"out_{shape}")
+        cp = str(tmp_path / f"cp_{shape}")
+        df = spark.createDataFrame(data, schema)
+        from pyspark.sql import functions as F
+
+        df.where(F.col("ts") < F.lit(split)).repartition(2).write.parquet(src)
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(schema).parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            # watermark beyond the stream span: timers are state-cleanup
+            # only; expiry is computed on arrival, as in the reference
+            q = (
+                streaming_passthrough(stream, cfg, watermark="100000 seconds")
+                .writeStream.format("parquet")
+                .option("path", out_dir).option("checkpointLocation", cp)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            assert q.awaitTermination(300)
+
+        run_once()
+        df.where(F.col("ts") >= F.lit(split)).repartition(2).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+
+        got = {
+            (r.conv_id, r.turn_idx): tuple(sorted(r.tags or []))
+            for r in spark.read.parquet(out_dir).select(
+                "conv_id", "turn_idx", "tags"
+            ).collect()
+        }
+        for tid, rows in streams.items():
+            exp = simulate_passthrough(
+                rows, sim_rules, cfg.timeout, cfg.effective_inactivity_timeout
+            )
+            for idx, kept, tagged in exp:
+                key = (tid, idx)
+                if not kept:
+                    assert key not in got, (shape, tid, idx, rows, got.get(key))
+                else:
+                    want = ("_aggregateexception",) if tagged else ()
+                    assert got.get(key) == want, (
+                        shape, tid, idx, rows, got.get(key), want
+                    )
+        n_exp = sum(
+            sum(1 for _i, kept, _t in simulate_passthrough(
+                rows, sim_rules, cfg.timeout, cfg.effective_inactivity_timeout
+            ) if kept)
+            for rows in streams.values()
+        )
+        assert len(got) == n_exp, (shape, len(got), n_exp)
+
+
+def test_streaming_passthrough_window_corner_matches_reference(spark, tmp_path):
+    # PIN the documented asymmetry (STATUS.md "Known divergences"): on the
+    # duplicate-create gap-refresh corner the STREAM (and batch
+    # exact_age_cap) match the reference where the batch window default
+    # approximates. Scenario: create at t=0, duplicate create at t=90
+    # (reference: no-op, clock NOT refreshed), cancel-rule row at t=150.
+    # Reference: gap 150s > 120 -> map expired on arrival -> cancel code
+    # never runs -> row KEPT. Window default: the pre-guard lag counts
+    # the duplicate create, gap 60s -> map alive -> row CANCELLED.
+    import warnings
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from logstash_filter_aggregate_spark.config import GuardedWindowModeWarning
+    from logstash_filter_aggregate_spark.plans.pipeline import run_pipeline
+    from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
+    from tests.conftest import make_transcript
+
+    rules = (
+        CorrelationRule("start", "logger = 'TASK_START'", map_action="create"),
+        CorrelationRule("click", "click_target is not null",
+                        map_action="update", cancel=True),
+    )
+    rows = [
+        (0, "INFO - u1 - TASK_START - s", 0),
+        (1, "INFO - u1 - TASK_START - s", 90),
+        (2, "INFO - u1 - Clicked One", 150),
+    ]
+    sim_rules = {"start": _PtRule(action="create"),
+                 "click": _PtRule(action="update", cancel=True)}
+    sim_rows = [("start", 0.0, 0), ("start", 90.0, 0), ("click", 150.0, 0)]
+    exp = simulate_passthrough(sim_rows, sim_rules, 600.0, 120.0)
+    assert [(k, t) for _i, k, t in exp] == [(True, False)] * 3  # all kept
+
+    p = str(tmp_path / "corner_in")
+    make_transcript(spark, rows).write.parquet(p)
+    t = spark.read.parquet(p)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", GuardedWindowModeWarning)
+        cfg_window = PipelineConfig(task_id="%{taskid}", rules=rules,
+                                    timeout=600.0, inactivity_timeout=120.0)
+    cfg_exact = PipelineConfig(task_id="%{taskid}", rules=rules,
+                               timeout=600.0, inactivity_timeout=120.0,
+                               exact_age_cap=True)
+
+    # batch exact mode: reference-exact -> all three rows kept
+    exact_idx = sorted(
+        r.turn_idx for r in run_pipeline(spark, t, cfg_exact).passthrough.collect()
+    )
+    assert exact_idx == [0, 1, 2]
+
+    # batch window default: the disclosed approximation cancels row 2
+    window_idx = sorted(
+        r.turn_idx for r in run_pipeline(spark, t, cfg_window).passthrough.collect()
+    )
+    assert window_idx == [0, 1]
+
+    # the STREAM sides with the reference, not the batch default
+    src = (
+        spark.readStream.schema(t.schema).parquet(p)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    name = "st_pt_window_corner"
+    q = (
+        streaming_passthrough(src, cfg_window)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    stream_idx = sorted(r.turn_idx for r in spark.table(name).collect())
+    assert stream_idx == [0, 1, 2]
