@@ -1,0 +1,415 @@
+"""Shard-keyed state for the streaming gated tiers (state amortization).
+
+``applyInPandasWithState`` pays a fixed per-key-per-micro-batch cost:
+one Python function invocation, one Arrow group, one state-store row
+visit. At transcript cardinalities that floor IS the runtime — the
+sf0.1 bench corpus has ~613k task ids across 2.1M participating rows
+(~3.4 rows per task per run), and an IDENTITY stateful fn over that
+keyed stream costs as much end-to-end as the full gated walk (measured:
+identity 262 s cold vs gated passthrough 133 s warm at 3M turns /
+12 micro-batches). No amount of per-key vectorization recovers that;
+the key space itself must shrink.
+
+This module keys the state by ``hash(task_id) % shards`` instead and
+keeps every live task's cell inside ONE state row per shard (a JSON
+dict ``task_id -> [creation, last, nevents, map, eff_to, eff_in]``).
+Each shard invocation sorts its chunk by ``(task, ts)``, preps the rule
+arrays once, and runs the same numpy session-hop (:func:`walk.walk_scan`)
+per task slice — per-task interpreted work is a ~15 µs walk call, not a
+~200 µs framework round-trip. Sessions are numbered globally across the
+chunk's tasks so the aggregation dictionaries still build in one set of
+vectorized passes (:func:`stream._session_agg_maps`).
+
+Timers and eviction: per-key mode registers one event-time timer per
+task; here each shard keeps ONE timer at the min cell expiry, and every
+invocation (data or timer) evicts cells whose expiry is behind the
+current watermark — emitting their timeout rows where the config pushes
+them. That is the same watermark condition per-key timers fire on, so a
+finite replay (availableNow + heartbeat flush) produces identical rows;
+only the micro-batch a timeout lands in can differ.
+
+Tradeoffs for cluster users (why this is opt-in):
+
+- a batch that touches a shard decodes/re-encodes ALL its live cells,
+  so state I/O per batch is ~the whole live set, not just touched
+  keys. Eviction bounds the live set exactly as per-key timers do.
+- hot-shard parallelism caps at ``shards``, not #tasks — pick
+  shards >> cores (hundreds to thousands; cells per shard stay small).
+- per-key mode remains the default and the right choice when tasks per
+  micro-batch are few and long-lived (chat sessions); shard mode wins
+  when task cardinality is high and per-task row counts are small
+  (request/job correlation — the reference's natural workload).
+
+Spec parity: same reference hot path as the per-key fns
+(``aggregate.rb:179-255``); equality is pinned by the shards-parametrized
+batch/stream tests and the streaming fuzz family.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState
+
+from logstash_filter_aggregate_spark.config import PipelineConfig
+from logstash_filter_aggregate_spark.streaming.stream import (
+    OUTPUT_SCHEMA,
+    _agg_value_col,
+    _build_agg_specs,
+    _build_rule_attrs,
+    _emit_value_col,
+    _merge_carried,
+    _norm,
+    _session_agg_maps,
+    _ts_us,
+)
+from logstash_filter_aggregate_spark.streaming.walk import (
+    CT0,
+    END,
+    OPEN,
+    prep_rule_arrays,
+    walk_scan,
+)
+
+SHARD_STATE_SCHEMA = T.StructType([T.StructField("cells", T.StringType())])
+
+# cell layout: [creation_s, last_s, nevents, map_dict|None, eff_to|None, eff_in|None]
+_C, _L, _N, _M, _TO, _IN = range(6)
+
+
+def _load_cells(state: GroupState) -> dict:
+    if not state.exists:
+        return {}
+    raw = state.get[0]
+    return json.loads(raw) if raw else {}
+
+
+def _cell_expiry_s(cell, timeout_s: float, inactivity_s: float) -> float:
+    to = cell[_TO] if cell[_TO] is not None else timeout_s
+    in_ = cell[_IN] if cell[_IN] is not None else inactivity_s
+    return min(cell[_C] + to, cell[_L] + in_)
+
+
+def _evict_expired(cells: dict, wm_ms: int, timeout_s: float,
+                   inactivity_s: float, skip: set) -> list[tuple]:
+    """Remove cells whose expiry is at/behind the watermark (the same
+    condition a per-key event-time timer fires on). Returns the evicted
+    ``(task_id, cell)`` pairs so the correlate tier can push them."""
+    if wm_ms <= 0 or not cells:
+        return []
+    out = []
+    for task in list(cells):
+        if task in skip:
+            continue
+        cell = cells[task]
+        if _cell_expiry_s(cell, timeout_s, inactivity_s) * 1000 <= wm_ms:
+            out.append((task, cells.pop(task)))
+    return out
+
+
+def _save(state: GroupState, cells: dict, timeout_s: float, inactivity_s: float) -> None:
+    if cells:
+        state.update((json.dumps(cells, default=str),))
+        expiry_ms = int(
+            min(_cell_expiry_s(c, timeout_s, inactivity_s) for c in cells.values())
+            * 1000
+        )
+        state.setTimeoutTimestamp(max(expiry_ms, state.getCurrentWatermarkMs() + 1))
+    elif state.exists:
+        state.remove()
+
+
+def _task_slices(tid: np.ndarray):
+    """(lo, hi) boundaries of each task's run in the (task, ts)-sorted chunk."""
+    starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
+    ends = np.r_[starts[1:], len(tid)]
+    return starts, ends
+
+
+def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
+                timeout_s: float, inactivity_s: float):
+    """Run the session-hop walk for every task slice of a sorted shard
+    chunk. Returns chunk-aligned ``code_ran`` / global ``sess_full``
+    arrays, the global session table, and per-task bookkeeping; updates
+    ``cells`` in place (final-open sessions persist, closed ones drop).
+
+    The walk sees only KNOWN-rule rows (unknown rules are transparent:
+    no state effect). Rule arrays are prepped ONCE for the whole chunk;
+    per-task work is one :func:`walk_scan` call on numpy slices."""
+    n = len(whole)
+    known, ts_s, is_create, is_update, end_flag, ct, ci = prep_rule_arrays(
+        whole, rule_attrs
+    )
+    tid = whole["_task_id"].to_numpy()
+    code_ran = np.zeros(n, dtype=bool)
+    sess_full = np.full(n, -1, dtype=np.int64)
+    sessions: list[tuple] = []      # (task_id, creation, last, kind)
+    sess_nev: list[int] = []
+    sess_carry: list[int] = []      # carried nevents base per session (emit math)
+    sess_init_map: dict[int, dict] = {}   # global sess idx -> carried map
+    final_sess_of_task: dict = {}   # task -> global sess idx of its open session
+    touched: set = set()
+    starts, ends = _task_slices(tid)
+    for lo, hi in zip(starts, ends):
+        task = tid[lo]
+        if task is None:
+            continue                 # watermark-advance rows: no state
+        sel = np.arange(lo, hi)
+        km = known[lo:hi]
+        if not km.all():
+            sel = sel[km]
+        touched.add(task)
+        cell = cells.get(task)
+        init = None
+        if cell is not None:
+            init = (
+                cell[_C], cell[_L], cell[_N],
+                cell[_TO] if cell[_TO] is not None else timeout_s,
+                cell[_IN] if cell[_IN] is not None else inactivity_s,
+            )
+        if sel.size == 0:
+            if cell is None:
+                continue
+            # transparent rows only: state untouched this batch
+            continue
+        res = walk_scan(
+            ts_s[sel], is_create[sel], is_update[sel], end_flag[sel],
+            ct[sel], ci[sel], init, timeout_s, inactivity_s,
+        )
+        base = len(sessions)
+        code_ran[sel] = res.code_ran
+        lab = res.sess_id.astype(np.int64)
+        sess_full[sel] = np.where(lab >= 0, lab + base, -1)
+        carried_n = int(cell[_N]) if cell is not None else 0
+        for k, (creation, last_ts, kind, _crow) in enumerate(res.sessions):
+            sessions.append((task, creation, last_ts, kind))
+            sess_nev.append(int(res.nevents[k]))
+            sess_carry.append(carried_n if (k == 0 and cell is not None) else 0)
+        if cell is not None:
+            sess_init_map[base] = cell[_M] or {}
+        if res.final is not None:
+            creation, last, nev, eff_to, eff_in = res.final
+            cells[task] = [
+                creation, last, int(nev), None,
+                eff_to if eff_to != timeout_s else None,
+                eff_in if eff_in != inactivity_s else None,
+            ]
+            final_sess_of_task[task] = len(sessions) - 1
+        else:
+            cells.pop(task, None)
+    return (code_ran, sess_full, sessions, sess_nev, sess_carry,
+            sess_init_map, final_sess_of_task, touched)
+
+
+def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
+    """Shard-keyed variant of :func:`stream._make_passthrough_fn`: same
+    keep/tags contract (O19 + U3, ``aggregate.rb:251-254``), per-task
+    state cells multiplexed into one row per shard."""
+    rule_attrs = _build_rule_attrs(cfg)
+    req_cols_by_rule = {
+        r.rule_id: [
+            _agg_value_col(r.rule_id, s.name) for s in r.aggs if s.required and s.col
+        ]
+        for r in cfg.rules
+    }
+    cancel_map = {r.rule_id: bool(r.cancel) for r in cfg.rules}
+    timeout_s = float(cfg.timeout)
+    inactivity_s = float(cfg.effective_inactivity_timeout)
+    _EXC = ["_aggregateexception"]
+    _EMPTY: list = []
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        cells = _load_cells(state)
+        if state.hasTimedOut:
+            _evict_expired(cells, state.getCurrentWatermarkMs(),
+                           timeout_s, inactivity_s, set())
+            _save(state, cells, timeout_s, inactivity_s)
+            yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        whole = whole.sort_values(
+            ["_task_id", "ts", "conv_id", "turn_idx"], kind="mergesort"
+        )
+        nrows = len(whole)
+
+        (code_ran, _sess_full, _sessions, _nev, _carry, _imap, _fin,
+         touched) = _walk_tasks(whole, rule_attrs, cells, timeout_s, inactivity_s)
+
+        rid_np = whole["_rule_id"].to_numpy()
+        cancel_arr = (
+            whole["_rule_id"].map(cancel_map).fillna(False).to_numpy(dtype=bool)
+        )
+        exc = np.zeros(nrows, dtype=bool)
+        for rule_id, req in req_cols_by_rule.items():
+            if not req:
+                continue
+            m = (rid_np == rule_id).astype(bool)
+            if not m.any():
+                continue
+            bad = np.zeros(nrows, dtype=bool)
+            for c in req:
+                bad |= whole[c].isna().to_numpy()
+            exc |= m & bad
+
+        keep = ~(code_ran & cancel_arr)        # U3: consumed where code ran
+        tag_exc = code_ran & exc               # O19: tagged where code ran
+
+        _evict_expired(cells, state.getCurrentWatermarkMs(),
+                       timeout_s, inactivity_s, touched)
+        _save(state, cells, timeout_s, inactivity_s)
+
+        kidx = np.flatnonzero(keep)
+        out = whole.iloc[kidx][out_cols].copy()
+        pt = whole["parse_tags"].to_numpy(dtype=object)
+        te = tag_exc[kidx]
+        tags_out: list = []
+        ap = tags_out.append
+        for b, e in zip(pt[kidx], te):
+            if b is None or len(b) == 0:
+                ap(_EXC if e else _EMPTY)
+            elif e:
+                ap(list(b) + _EXC)
+            else:
+                ap(list(b))
+        out["tags"] = pd.Series(tags_out, index=out.index, dtype=object)
+        yield out
+
+    return fn
+
+
+def make_correlate_shard_fn(cfg: PipelineConfig):
+    """Shard-keyed variant of :func:`stream._make_stateful_fn`: the full
+    map lifecycle (aggregation dictionaries, closes, timeout pushes, O18
+    emit rows) with per-task cells multiplexed into one row per shard."""
+    rule_attrs = _build_rule_attrs(cfg)
+    agg_specs = _build_agg_specs(cfg)
+    emit_rules = {
+        r.rule_id: [(n, _emit_value_col(r.rule_id, n)) for n in (r.emit or {})]
+        for r in cfg.rules if r.emit
+    }
+    timeout_s = float(cfg.timeout)
+    inactivity_s = float(cfg.effective_inactivity_timeout)
+    push = cfg.push_map_as_event_on_timeout
+    out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
+
+    def _timeout_row(task, cell) -> dict:
+        return dict(
+            task_id=task, sink="timeout",
+            creation_ts=_ts_us(cell[_C]), lastevent_ts=_ts_us(cell[_L]),
+            nevents=int(cell[_N]),
+            map_json=json.dumps(cell[_M] or {}, default=str),
+        )
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        out_rows: list[dict] = []
+        cells = _load_cells(state)
+        if state.hasTimedOut:
+            evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
+                                     timeout_s, inactivity_s, set())
+            if push:
+                out_rows.extend(_timeout_row(t, c) for t, c in evicted)
+            _save(state, cells, timeout_s, inactivity_s)
+            yield pd.DataFrame(out_rows, columns=out_cols)
+            return
+
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            yield pd.DataFrame(out_rows, columns=out_cols)
+            return
+        whole = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
+        whole = whole.sort_values(
+            ["_task_id", "ts", "conv_id", "turn_idx"], kind="mergesort"
+        )
+
+        (code_ran, sess_full, sessions, sess_nev, sess_carry, sess_init_map,
+         final_sess_of_task, touched) = _walk_tasks(
+            whole, rule_attrs, cells, timeout_s, inactivity_s
+        )
+        n_sess = len(sessions)
+        cr_idx = np.flatnonzero(code_ran)
+        sess_cr = sess_full[cr_idx]
+        srid = (
+            whole["_rule_id"].to_numpy()[cr_idx]
+            if cr_idx.size else np.empty(0, dtype=object)
+        )
+        sess_maps = _session_agg_maps(whole, cr_idx, sess_cr, srid, n_sess, agg_specs)
+        for base, imap in sess_init_map.items():
+            sess_maps[base] = _merge_carried(agg_specs, imap, sess_maps[base])
+
+        # closed sessions -> sink rows (same mapping as the per-key fn)
+        for si_, (task, creation, last_ts, kind) in enumerate(sessions):
+            if kind == OPEN:
+                continue
+            if kind == END:
+                sink = "completed"               # aggregate.rb:240
+            elif kind == CT0:
+                sink = "inline" if push else None
+            else:
+                sink = "timeout" if push else None
+            if sink is None:
+                continue
+            out_rows.append(dict(
+                task_id=task, sink=sink,
+                creation_ts=_ts_us(creation), lastevent_ts=_ts_us(last_ts),
+                nevents=int(sess_nev[si_]),
+                map_json=json.dumps(sess_maps[si_], default=str),
+            ))
+
+        # emit rows (O18): one per code-ran row of an emit rule, carrying
+        # the state AS OF that row. sess_cr is non-decreasing (chunk is
+        # task-then-ts sorted, sessions numbered in walk order), so the
+        # per-session running count is the same group-offset computation
+        # as the per-key fn — plus each session's carried base.
+        if emit_rules and cr_idx.size:
+            change = np.empty(len(cr_idx), dtype=bool)
+            change[0] = True
+            change[1:] = sess_cr[1:] != sess_cr[:-1]
+            grp_start = np.flatnonzero(change)
+            sizes = np.diff(np.append(grp_start, len(cr_idx)))
+            offsets = np.repeat(grp_start, sizes)
+            nev_sofar = np.arange(len(cr_idx), dtype="int64") - offsets + 1
+            nev_sofar += np.asarray(sess_carry, dtype="int64")[sess_cr]
+            creations = np.asarray([s[1] for s in sessions])
+            tasks_of = np.asarray([s[0] for s in sessions], dtype=object)
+            for rid_, ems in emit_rules.items():
+                m = (srid == rid_).astype(bool)
+                if not m.any():
+                    continue
+                rows_pos = cr_idx[m]
+                colvals = {
+                    n: whole[c].to_numpy(dtype=object)[rows_pos] for n, c in ems
+                }
+                ts_vals = whole["ts"].iloc[rows_pos].to_numpy()
+                s_cre = creations[sess_cr[m]]
+                s_task = tasks_of[sess_cr[m]]
+                s_nev = nev_sofar[m]
+                for k in range(len(rows_pos)):
+                    payload = {n: _norm(colvals[n][k]) for n, _c in ems}
+                    out_rows.append(dict(
+                        task_id=s_task[k], sink="emit",
+                        creation_ts=_ts_us(float(s_cre[k])),
+                        lastevent_ts=pd.Timestamp(ts_vals[k]),
+                        nevents=int(s_nev[k]),
+                        map_json=json.dumps(payload, default=str),
+                    ))
+
+        # persist the open sessions' accumulated maps into their cells
+        for task, si_ in final_sess_of_task.items():
+            cells[task][_M] = sess_maps[si_]
+
+        evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
+                                 timeout_s, inactivity_s, touched)
+        if push:
+            out_rows.extend(_timeout_row(t, c) for t, c in evicted)
+        _save(state, cells, timeout_s, inactivity_s)
+        yield pd.DataFrame(out_rows, columns=out_cols)
+
+    return fn

@@ -135,6 +135,137 @@ def _emit_value_col(rule_id: str, name: str) -> str:
     return f"_em_{rule_id}_{name}"
 
 
+def _norm(v):
+    if v is None or _is_nullish(v):
+        return None
+    return v.item() if hasattr(v, "item") else v
+
+
+def _ts_us(sec: float) -> pd.Timestamp:
+    # the state keeps epoch-seconds doubles; float64 is exact to
+    # <0.25µs here but ns-residue appears on reconstruction and
+    # Arrow's safe µs cast rejects it — round("us") recovers the
+    # original microsecond exactly
+    return pd.Timestamp(sec, unit="s").round("us")
+
+
+def _build_rule_attrs(cfg: PipelineConfig) -> dict:
+    return {
+        r.rule_id: dict(
+            map_action=r.map_action,
+            end_of_task=r.end_of_task,
+            has_custom_timeout=r.custom_timeout is not None,
+            has_custom_inactivity=r.custom_inactivity_timeout is not None,
+        )
+        for r in cfg.rules
+    }
+
+
+def _build_agg_specs(cfg: PipelineConfig) -> dict[str, tuple]:
+    """Agg specs merged by name across rules (a shared name accumulates
+    into ONE map entry, interleaved in event order — spec parity with
+    the per-row walk the vectorized scan replaced)."""
+    agg_specs: dict[str, tuple] = {}
+    for r in cfg.rules:
+        for s in r.aggs:
+            fn_, pairs = agg_specs.setdefault(s.name, (s.fn, []))
+            pairs.append(
+                (r.rule_id, _agg_value_col(r.rule_id, s.name) if s.col else None)
+            )
+    return agg_specs
+
+
+def _merge_carried(agg_specs: dict, carried: dict, batch: dict) -> dict:
+    """Combine the state cell's accumulated map with this batch's
+    per-session aggregate, per agg function semantics."""
+    if not carried:
+        return batch
+    out = dict(carried)
+    for name, v in batch.items():
+        if name not in out:
+            out[name] = v
+            continue
+        fn_ = agg_specs[name][0] if name in agg_specs else "last"
+        if fn_ in ("count", "sum"):
+            out[name] = out[name] + v
+        elif fn_ == "min":
+            out[name] = min(out[name], v)
+        elif fn_ == "max":
+            out[name] = max(out[name], v)
+        elif fn_ == "first":
+            pass                            # carried first wins
+        elif fn_ == "collect_list":
+            out[name] = list(out[name]) + list(v)
+        elif fn_ == "collect_set":
+            cur = list(out[name])
+            out[name] = cur + [x for x in v if x not in cur]
+        else:                               # last
+            out[name] = v
+    return out
+
+
+def _session_agg_maps(whole, cr_idx, sess_cr, srid, n_sess: int, agg_specs: dict):
+    """Per-session aggregation dictionaries: one set of vectorized passes
+    per agg name over the code-ran rows. ``sess_cr`` may number sessions
+    across MANY tasks (the shard tier) — the math is identical as long as
+    session ids are globally unique within the chunk."""
+    import numpy as np
+
+    sess_maps: list[dict] = [dict() for _ in range(n_sess)]
+    if not cr_idx.size:
+        return sess_maps
+    for name, (fn_, pairs) in agg_specs.items():
+        if fn_ == "count":
+            ind = np.zeros(len(cr_idx), dtype=bool)
+            for rid_, _col in pairs:
+                ind |= (srid == rid_).astype(bool)
+            cnt = np.bincount(sess_cr[ind], minlength=n_sess)
+            for si_ in np.flatnonzero(cnt):
+                sess_maps[int(si_)][name] = int(cnt[si_])
+            continue
+        parts = []
+        for rid_, col in pairs:
+            if col is None:
+                continue
+            m = (srid == rid_).astype(bool)
+            if not m.any():
+                continue
+            v = whole[col].iloc[cr_idx[m]]
+            nn = v.notna().to_numpy()
+            if not nn.any():
+                continue
+            parts.append(pd.DataFrame({
+                "sess": sess_cr[m][nn],
+                "pos": cr_idx[m][nn],
+                "val": v.to_numpy()[nn],
+            }))
+        if not parts:
+            continue
+        dfp = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True
+        ).sort_values("pos", kind="mergesort")
+        g = dfp.groupby("sess")["val"]
+        if fn_ == "sum":
+            agg_res = g.sum()
+        elif fn_ == "min":
+            agg_res = g.min()
+        elif fn_ == "max":
+            agg_res = g.max()
+        elif fn_ == "first":
+            agg_res = g.first()
+        elif fn_ == "last":
+            agg_res = g.last()
+        elif fn_ == "collect_list":
+            agg_res = g.agg(list)
+        else:                            # collect_set: stable dedupe
+            agg_res = g.agg(lambda s: list(dict.fromkeys(s)))
+        for si_, v_ in agg_res.items():
+            sess_maps[int(si_)][name] = (
+                [_norm(x) for x in v_] if isinstance(v_, list) else _norm(v_)
+            )
+    return sess_maps
+
+
 def _make_stateful_fn(cfg: PipelineConfig):
     """Build the per-key stateful function: the reference's filter() hot
     path (aggregate.rb:179-255) over one task's micro-batch rows. Agg
@@ -152,25 +283,8 @@ def _make_stateful_fn(cfg: PipelineConfig):
 
     from logstash_filter_aggregate_spark.streaming.walk import CT0, END, OPEN, scan_chunk
 
-    rule_attrs = {
-        r.rule_id: dict(
-            map_action=r.map_action,
-            end_of_task=r.end_of_task,
-            has_custom_timeout=r.custom_timeout is not None,
-            has_custom_inactivity=r.custom_inactivity_timeout is not None,
-        )
-        for r in cfg.rules
-    }
-    # agg specs merged by name across rules (a shared name accumulates
-    # into ONE map entry, interleaved in event order — spec parity with
-    # the per-row walk this replaced)
-    agg_specs: dict[str, tuple] = {}
-    for r in cfg.rules:
-        for s in r.aggs:
-            fn_, pairs = agg_specs.setdefault(s.name, (s.fn, []))
-            pairs.append(
-                (r.rule_id, _agg_value_col(r.rule_id, s.name) if s.col else None)
-            )
+    rule_attrs = _build_rule_attrs(cfg)
+    agg_specs = _build_agg_specs(cfg)
     # new_event_block emissions (O18): fire exactly where the code runs —
     # the state walk IS the guard decision, so gated emit rules work here
     emit_rules = {
@@ -181,46 +295,6 @@ def _make_stateful_fn(cfg: PipelineConfig):
     inactivity_s = float(cfg.effective_inactivity_timeout)
     push = cfg.push_map_as_event_on_timeout
     out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
-
-    def _norm(v):
-        if v is None or _is_nullish(v):
-            return None
-        return v.item() if hasattr(v, "item") else v
-
-    def _merge_carried(carried: dict, batch: dict) -> dict:
-        """Combine the state cell's accumulated map with this batch's
-        per-session aggregate, per agg function semantics."""
-        if not carried:
-            return batch
-        out = dict(carried)
-        for name, v in batch.items():
-            if name not in out:
-                out[name] = v
-                continue
-            fn_ = agg_specs[name][0] if name in agg_specs else "last"
-            if fn_ in ("count", "sum"):
-                out[name] = out[name] + v
-            elif fn_ == "min":
-                out[name] = min(out[name], v)
-            elif fn_ == "max":
-                out[name] = max(out[name], v)
-            elif fn_ == "first":
-                pass                            # carried first wins
-            elif fn_ == "collect_list":
-                out[name] = list(out[name]) + list(v)
-            elif fn_ == "collect_set":
-                cur = list(out[name])
-                out[name] = cur + [x for x in v if x not in cur]
-            else:                               # last
-                out[name] = v
-        return out
-
-    def _ts_us(sec: float) -> pd.Timestamp:
-        # the state keeps epoch-seconds doubles; float64 is exact to
-        # <0.25µs here but ns-residue appears on reconstruction and
-        # Arrow's safe µs cast rejects it — round("us") recovers the
-        # original microsecond exactly
-        return pd.Timestamp(sec, unit="s").round("us")
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         task_id = key[0]
@@ -278,60 +352,10 @@ def _make_stateful_fn(cfg: PipelineConfig):
 
         # per-session aggregation dictionaries: one set of vectorized
         # passes per agg name over the code-ran rows
-        sess_maps: list[dict] = [dict() for _ in range(n_sess)]
-        if cr_idx.size:
-            srid = whole["_rule_id"].to_numpy()[cr_idx]
-            for name, (fn_, pairs) in agg_specs.items():
-                if fn_ == "count":
-                    ind = np.zeros(len(cr_idx), dtype=bool)
-                    for rid_, _col in pairs:
-                        ind |= (srid == rid_).astype(bool)
-                    cnt = np.bincount(sess_cr[ind], minlength=n_sess)
-                    for si_ in np.flatnonzero(cnt):
-                        sess_maps[int(si_)][name] = int(cnt[si_])
-                    continue
-                parts = []
-                for rid_, col in pairs:
-                    if col is None:
-                        continue
-                    m = (srid == rid_).astype(bool)
-                    if not m.any():
-                        continue
-                    v = whole[col].iloc[cr_idx[m]]
-                    nn = v.notna().to_numpy()
-                    if not nn.any():
-                        continue
-                    parts.append(pd.DataFrame({
-                        "sess": sess_cr[m][nn],
-                        "pos": cr_idx[m][nn],
-                        "val": v.to_numpy()[nn],
-                    }))
-                if not parts:
-                    continue
-                dfp = parts[0] if len(parts) == 1 else pd.concat(
-                    parts, ignore_index=True
-                ).sort_values("pos", kind="mergesort")
-                g = dfp.groupby("sess")["val"]
-                if fn_ == "sum":
-                    agg_res = g.sum()
-                elif fn_ == "min":
-                    agg_res = g.min()
-                elif fn_ == "max":
-                    agg_res = g.max()
-                elif fn_ == "first":
-                    agg_res = g.first()
-                elif fn_ == "last":
-                    agg_res = g.last()
-                elif fn_ == "collect_list":
-                    agg_res = g.agg(list)
-                else:                            # collect_set: stable dedupe
-                    agg_res = g.agg(lambda s: list(dict.fromkeys(s)))
-                for si_, v_ in agg_res.items():
-                    sess_maps[int(si_)][name] = (
-                        [_norm(x) for x in v_] if isinstance(v_, list) else _norm(v_)
-                    )
+        srid = whole["_rule_id"].to_numpy()[cr_idx] if cr_idx.size else np.empty(0, dtype=object)
+        sess_maps = _session_agg_maps(whole, cr_idx, sess_cr, srid, n_sess, agg_specs)
         if init is not None and n_sess:
-            sess_maps[0] = _merge_carried(init_map, sess_maps[0])
+            sess_maps[0] = _merge_carried(agg_specs, init_map, sess_maps[0])
 
         # closed sessions -> sink rows
         for si_, (creation, last_ts, kind, _crow) in enumerate(res.sessions):
@@ -428,10 +452,18 @@ def streaming_correlate(
     cfg: PipelineConfig,
     groks=None,
     watermark: str = "10 minutes",
+    shards: int | None = None,
 ) -> DataFrame:
     """Full-map-lifecycle streaming correlation. Returns one appended row
     per closed map with a ``sink`` column; split to routed sinks with
-    ``foreachBatch`` filters."""
+    ``foreachBatch`` filters.
+
+    ``shards``: opt-in state amortization for high-cardinality task ids —
+    key the state by ``hash(task_id) % shards`` instead of per task,
+    multiplexing every live task's cell into one state row per shard
+    (see :mod:`streaming.shard` for the measured per-key floor this
+    removes and the tradeoffs). Identical output rows; a timeout push can
+    land a micro-batch later than per-key mode."""
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
     value_cols = [
@@ -459,6 +491,25 @@ def streaming_correlate(
             "_custom_timeout", "_custom_inactivity", *value_cols,
         )
     )
+    if shards:
+        from logstash_filter_aggregate_spark.streaming.shard import (
+            SHARD_STATE_SCHEMA,
+            make_correlate_shard_fn,
+        )
+
+        return (
+            part.withColumn(
+                "_shard", F.pmod(F.xxhash64("_task_id"), F.lit(int(shards)))
+            )
+            .groupBy("_shard")
+            .applyInPandasWithState(
+                make_correlate_shard_fn(cfg),
+                outputStructType=OUTPUT_SCHEMA,
+                stateStructType=SHARD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
     return part.groupBy("_task_id").applyInPandasWithState(
         _make_stateful_fn(cfg),
         outputStructType=OUTPUT_SCHEMA,
@@ -561,6 +612,7 @@ def streaming_passthrough(
     cfg: PipelineConfig,
     groks=None,
     watermark: str = "10 minutes",
+    shards: int | None = None,
 ) -> DataFrame:
     """O19 + U3 over a stream — the streaming parity of the batch
     ``passthrough_stream``: every non-cancelled event continues
@@ -588,7 +640,11 @@ def streaming_passthrough(
     Scale note: the gated tier serializes the participating rows
     (full width) through one Arrow round-trip per micro-batch — the
     price of reference-exact guard decisions on a stream; the batch
-    engine remains the cheap path for bulk replays.
+    engine remains the cheap path for bulk replays. When the corpus has
+    MANY tasks with FEW rows each, the per-key-per-batch framework cost
+    of ``applyInPandasWithState`` dominates; pass ``shards`` to key the
+    state by ``hash(task_id) % shards`` and amortize it (identical
+    output; see :mod:`streaming.shard`).
     """
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
@@ -625,6 +681,26 @@ def streaming_passthrough(
         .where(participates)
         .select(*classified.columns, *req_cols)
     )
+    if shards:
+        from logstash_filter_aggregate_spark.streaming.shard import (
+            SHARD_STATE_SCHEMA,
+            make_passthrough_shard_fn,
+        )
+
+        walked = (
+            part.withColumn(
+                "_shard", F.pmod(F.xxhash64("_task_id"), F.lit(int(shards)))
+            )
+            .groupBy("_shard")
+            .applyInPandasWithState(
+                make_passthrough_shard_fn(cfg, out_cols),
+                outputStructType=out_schema,
+                stateStructType=SHARD_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+        return walked.unionByName(stateless)
     fn = _make_passthrough_fn(cfg, out_cols)
     walked = part.groupBy("_task_id").applyInPandasWithState(
         fn,

@@ -553,7 +553,8 @@ def test_streaming_fuzz_matches_reference_simulator(spark, tmp_path):
             )
 
 
-def test_streaming_passthrough_matches_batch_gated(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 7])
+def test_streaming_passthrough_matches_batch_gated(spark, tmp_path, shards):
     # O19 + U3 over a stream, guard-gated (the round-3 verdict's missing
     # streaming column): same config family as pipe_route_counts_guarded
     # — an update-guarded required-agg rule (exception tags only where a
@@ -610,8 +611,8 @@ def test_streaming_passthrough_matches_batch_gated(spark, tmp_path):
         spark.readStream.schema(schema).parquet(p)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    out = streaming_passthrough(src, cfg)
-    name = "st_passthrough_gated"
+    out = streaming_passthrough(src, cfg, shards=shards)
+    name = f"st_passthrough_gated_{shards or 'key'}"
     q = (
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()

@@ -6,6 +6,7 @@ rounding), and report per-query PASS/FAIL.
 
 from __future__ import annotations
 
+import os
 import sys
 import datetime as dt
 
@@ -35,7 +36,10 @@ def canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def main(sf_dir: str, only: list[str] | None = None) -> int:
-    spark = get_spark(app_name="oracle_check", master="local[8]")
+    spark = get_spark(
+        app_name="oracle_check",
+        master="local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "8"),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
