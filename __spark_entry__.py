@@ -484,13 +484,18 @@ def _o19b_guarded_exception_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _stream_passthrough_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_passthrough_guarded(
+    spark: SparkSession, sf_dir: str, shards: int | None = None
+) -> DataFrame:
     """O19/U3 over a STREAM (round-4 streaming passthrough parity): the
     o19b config replayed through streaming_passthrough — the keyed state
     walk decides guard inclusion, so `_aggregateexception` tags appear
     exactly where the batch engine (and the reference codeblock) would
     raise. Same aggregate shape and ORACLE as o19b_guarded_exception_tags,
-    so the driver certifies batch/stream/SQL three-way agreement."""
+    so the driver certifies batch/stream/SQL three-way agreement.
+    ``shards`` routes the replay through the shard-keyed state tier
+    (streaming/shard.py — state amortization for high-cardinality task
+    ids), certifying ITS guard decisions against the same SQL oracle."""
     from logstash_filter_aggregate_spark.streaming.stream import streaming_passthrough
 
     cfg = PipelineConfig(
@@ -510,8 +515,10 @@ def _stream_passthrough_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(schema).parquet(src_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
-    out = streaming_passthrough(src, cfg, groks=compile_groks(EVENT_GROK))
-    name = "st_pt_guarded_" + src_dir.rsplit("/", 1)[-1]
+    out = streaming_passthrough(
+        src, cfg, groks=compile_groks(EVENT_GROK), shards=shards
+    )
+    name = f"st_pt_guarded_{shards or 'key'}_" + src_dir.rsplit("/", 1)[-1]
     q = (
         out.writeStream.format("memory").queryName(name)
         .outputMode("append").trigger(availableNow=True).start()
@@ -842,6 +849,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["o18b_guarded_emissions"] = _o18b_guarded_emissions  # O18 guard-gated
     q["o19b_guarded_exception_tags"] = _o19b_guarded_exception_tags  # O19 guard-gated
     q["stream_passthrough_guarded"] = _stream_passthrough_guarded  # O19/U3 over a stream
+
+    def _stream_pt_sharded(spark, sf):
+        # the shard-keyed state tier against the same SQL oracle
+        return _stream_passthrough_guarded(spark, sf, shards=32)
+    q["stream_passthrough_sharded"] = _stream_pt_sharded
     q["pipe_resume_seeds"] = _pipe_resume_seeds            # O21
 
     # --- U1: grok/regex parse (JVM backend; pandas backend is rows-only)
@@ -1601,6 +1613,7 @@ def oracle_sql() -> dict[str, str]:
     """
     # streaming passthrough == batch passthrough == the same SQL oracle
     o["stream_passthrough_guarded"] = o["o19b_guarded_exception_tags"]
+    o["stream_passthrough_sharded"] = o["o19b_guarded_exception_tags"]
     o["pipe_resume_seeds"] = _PIPE_GAP_SQL
     o["u01_regex_parse"] = """
         WITH t AS (

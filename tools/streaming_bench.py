@@ -85,10 +85,17 @@ def main() -> None:
 
     cfg1 = example1_config(timeout=3600.0)
     cfg3 = example3_config(timeout=600.0)
+    shards = int(os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "512"))
     queries = {
         "passthrough_ungated": lambda src: streaming_passthrough(src, cfg3),
         "passthrough_gated": lambda src: streaming_passthrough(src, cfg1),
+        "passthrough_gated_sharded": lambda src: streaming_passthrough(
+            src, cfg1, shards=shards
+        ),
         "correlate_gated": lambda src: streaming_correlate(src, cfg1),
+        "correlate_gated_sharded": lambda src: streaming_correlate(
+            src, cfg1, shards=shards
+        ),
     }
     results = {}
     for name, build in queries.items():
@@ -105,6 +112,7 @@ def main() -> None:
         "turns": n,
         "max_files_per_trigger": max_files,
         "cpus": cpus,
+        "shards": shards,
         "queries": results,
     }
     line = json.dumps(doc)
