@@ -1006,6 +1006,7 @@ def replay_routed(
     groks=None,
     watermark: str = "10 minutes",
     final_flush: bool = True,
+    shards: int | None = None,
 ) -> None:
     """Finite-corpus replay through the streaming engine with a FULL
     final flush — the streaming analog of the batch engine's end-of-input
@@ -1052,7 +1053,9 @@ def replay_routed(
             .unionByName(spark.readStream.schema(schema).parquet(hb_dir))
         )
         q = stream_to_routed_sinks(
-            streaming_correlate(src, cfg, groks=groks, watermark=watermark),
+            streaming_correlate(
+                src, cfg, groks=groks, watermark=watermark, shards=shards
+            ),
             base_path, checkpoint,
         )
         q.awaitTermination()

@@ -240,16 +240,20 @@ def test_stream_to_routed_sinks_matches_batch_and_replays_idempotent(spark, stre
     assert spark.read.parquet(f"{base}/completed").count() == len(expect)
 
 
-def test_replay_routed_final_flush_matches_batch(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 5])
+def test_replay_routed_final_flush_matches_batch(spark, tmp_path, shards):
     # a finite replay must flush the tail: streaming timeout sink ==
     # batch timeout ∪ open (the reference's flush(final: true) pushes
-    # every remaining map, aggregate.rb:154-175)
+    # every remaining map, aggregate.rb:154-175). The shards leg drives
+    # the heartbeat final flush through the SHARD timers (one per shard,
+    # min cell expiry): the sentinel watermark must evict every cell.
     from logstash_filter_aggregate_spark.streaming.stream import replay_routed
 
     p = str(tmp_path / "in")
     generate_transcripts(spark, n_convs=30).write.parquet(p)
     cfg = example3_config(timeout=600.0)
-    replay_routed(spark, p, cfg, str(tmp_path / "out"), str(tmp_path / "cp"))
+    replay_routed(spark, p, cfg, str(tmp_path / "out"), str(tmp_path / "cp"),
+                  shards=shards)
 
     got = spark.read.parquet(str(tmp_path / "out" / "timeout"))
     # the heartbeat sentinel lives in a sibling staging dir, NOT in the
