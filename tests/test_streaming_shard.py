@@ -58,12 +58,20 @@ def test_shard_correlate_equals_per_key_multibatch(spark, tmp_path):
     p = str(tmp_path / "in")
     generate_transcripts(spark, n_convs=40, hot_convs=2).repartition(5).write.parquet(p)
     cfg = example1_config(timeout=3600.0)
+    # hash-partitioned files replayed one per batch arrive out of TIME
+    # order; the default 10-min watermark would fire timers against that
+    # replay artifact nondeterministically (file listing order), which
+    # can evict every map before its end event arrives. A watermark
+    # beyond the corpus span keeps mid-replay timers quiet in BOTH modes
+    # so the equality (and non-emptiness) is deterministic.
+    wm = "30 days"
     per_key = _canon_correlate(_run_stream(
-        spark, p, lambda s: streaming_correlate(s, cfg), "shard_co_a", max_files=1
+        spark, p, lambda s: streaming_correlate(s, cfg, watermark=wm),
+        "shard_co_a", max_files=1,
     ))
     sharded = _canon_correlate(_run_stream(
-        spark, p, lambda s: streaming_correlate(s, cfg, shards=7), "shard_co_b",
-        max_files=1,
+        spark, p, lambda s: streaming_correlate(s, cfg, watermark=wm, shards=7),
+        "shard_co_b", max_files=1,
     ))
     assert per_key and per_key == sharded
 
