@@ -644,7 +644,8 @@ def streaming_passthrough(
     MANY tasks with FEW rows each, the per-key-per-batch framework cost
     of ``applyInPandasWithState`` dominates; pass ``shards`` to key the
     state by ``hash(task_id) % shards`` and amortize it (identical
-    output; see :mod:`streaming.shard`).
+    output; see :mod:`streaming.shard`; measured at 613k tasks / 3M
+    turns: 20.9k → 59.6k turns/s with shards=512).
     """
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)

@@ -97,6 +97,10 @@ def main() -> None:
             src, cfg1, shards=shards
         ),
     }
+    only = os.environ.get("SPARK_GRAFT_STREAM_QUERIES")
+    if only:
+        keep = set(only.split(","))
+        queries = {k: v for k, v in queries.items() if k in keep}
     results = {}
     for name, build in queries.items():
         wall, last_batch = drive(spark, src_path, schema, build, name, max_files)
