@@ -989,6 +989,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).unionByName(guard)
     q["dd_simhash"] = dd_simhash
 
+    def dd_incremental_exact(spark, sf):
+        # batch-incremental exact dedup (operators/incremental.py): the
+        # corpus split at its id midpoint into two arrival batches, each
+        # deduped against a persisted hash store — the union of survivors
+        # must equal the full-corpus one-shot relation (min doc_id per
+        # normalized content), which IS the SQL oracle.
+        import uuid
+
+        from logstash_filter_aggregate_spark.operators.incremental import (
+            incremental_exact_dedup,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        mid = (d.agg(F.max("doc_id")).first()[0] + 1) // 2
+        store = f"/tmp/spark_graft_inc/{uuid.uuid4().hex}"
+        s1 = incremental_exact_dedup(d.where(F.col("doc_id") < mid), store, batch_id=0)
+        s2 = incremental_exact_dedup(d.where(F.col("doc_id") >= mid), store, batch_id=1)
+        return s1.unionByName(s2).select("doc_id", "content_hash")
+    q["dd_incremental_exact"] = dd_incremental_exact
+
+    def dd_incremental_minhash(spark, sf):
+        # property oracle for the incremental near-dup path: batch 2
+        # carries planted copies of 5 batch-1 docs; its batch-vs-store
+        # candidates intersected with the identical-text relation must
+        # equal that relation (identical text => identical signature =>
+        # every band matches => est_jaccard exactly 1.0). Flood guard
+        # bounds the candidate mass as in dd_minhash_lsh.
+        import uuid
+
+        from logstash_filter_aggregate_spark.operators.incremental import (
+            incremental_minhash_candidates,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        mid = (d.agg(F.max("doc_id")).first()[0] + 1) // 2
+        b1 = d.where(F.col("doc_id") < mid)
+        planted = b1.where("doc_id < 5").select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        b2 = d.where(F.col("doc_id") >= mid).unionByName(planted)
+        store = f"/tmp/spark_graft_inc/{uuid.uuid4().hex}"
+        incremental_minhash_candidates(
+            b1, store, k=3, num_hashes=16, bands=16, max_bucket=4096, batch_id=0
+        )
+        cand = incremental_minhash_candidates(
+            b2, store, k=3, num_hashes=16, bands=16, max_bucket=4096, batch_id=1
+        ).where("source = 'store'")
+        n1, o1 = b1.alias("n"), b2.alias("o")
+        exact = o1.join(n1, F.col("o.text") == F.col("n.text")).select(
+            F.col("o.doc_id").alias("new_id"), F.col("n.doc_id").alias("peer_id")
+        )
+        corpus = b1.unionByName(b2)
+        cand, guard = _flood_guard(cand, corpus, 0.05, [
+            F.lit(-1).cast("long").alias("new_id"),
+            F.lit(-1).cast("long").alias("peer_id"),
+            F.lit(-1.0).alias("est_j"),
+        ])
+        return cand.join(exact, ["new_id", "peer_id"]).select(
+            "new_id", "peer_id",
+            F.col("est_jaccard").cast("double").alias("est_j"),
+        ).unionByName(guard)
+    q["dd_incremental_minhash"] = dd_incremental_minhash
+
     # --- similarity family
     def sim_brute(spark, sf):
         out = similarity.brute_force_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
@@ -1679,6 +1742,29 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS hamming
         FROM alld a JOIN alld b ON a.text = b.text AND a.id < b.id
+    """
+    # incremental exact dedup: survivors across midpoint-split batches
+    # == the one-shot relation (min doc_id per normalized content)
+    o["dd_incremental_exact"] = """
+        SELECT min(doc_id) AS doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+                 AS content_hash
+        FROM documents GROUP BY 2
+    """
+    # incremental minhash property oracle: planted identical-text copies
+    # in batch 2 must surface as batch-vs-store candidates at est 1.0
+    o["dd_incremental_minhash"] = """
+        WITH mid AS (SELECT (max(doc_id) + 1) // 2 AS m FROM documents),
+        b1 AS (SELECT doc_id, text FROM documents, mid WHERE doc_id < m),
+        b2 AS (
+          SELECT doc_id, text FROM documents, mid WHERE doc_id >= m
+          UNION ALL
+          SELECT doc_id + 1000000, text FROM documents, mid
+          WHERE doc_id < 5 AND doc_id < m
+        )
+        SELECT o.doc_id AS new_id, n.doc_id AS peer_id,
+               CAST(1.0 AS DOUBLE) AS est_j
+        FROM b2 o JOIN b1 n ON o.text = n.text
     """
     # property oracle for embedding near-dup: planted identical embeddings
     # share the full LSH signature and verify at cosine 1.0

@@ -88,6 +88,60 @@ def minhash_signature(shingle_hash_col: Column, num_hashes: int = 16) -> Column:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """``(id, sig, band_idx, band_hash)`` rows — the MinHash signature
+    plus one row per LSH band. The signature is built via explode +
+    groupBy rather than the array-HOF form: higher-order lambdas are
+    interpreted row-at-a-time, while the exploded per-shingle seed
+    hashes are plain projected expressions inside whole-stage codegen
+    (~10x). Partial aggregation combines the mins map-side, so the
+    shuffle carries one row per doc. Shared by
+    :func:`minhash_lsh_candidates` (full-corpus pairs) and
+    :func:`incremental.incremental_minhash_candidates` (the persisted
+    signature store)."""
+    rows_per_band = num_hashes // bands
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_hashes(text_col, k)).alias("s")
+    )
+    sig = (
+        exploded.groupBy("id")
+        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}") for i in range(num_hashes)])
+        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+    return sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.aggregate(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: F.xxhash64(acc, x),
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sig", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def est_jaccard(sig_a, sig_b, num_hashes: int) -> Column:
+    """Fraction of agreeing minhashes — the LSH jaccard estimate."""
+    return (
+        F.size(F.filter(F.zip_with(sig_a, sig_b, lambda p, q: p == q), lambda eq: eq))
+        / F.lit(float(num_hashes))
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -110,37 +164,7 @@ def minhash_lsh_candidates(
     cap is the safety valve that keeps the worst key from dominating a
     partition, and dropped buckets are reported via the `truncated` flag
     so the caller can see coverage loss instead of silently missing it."""
-    rows_per_band = num_hashes // bands
-    # signature via explode + groupBy rather than the array-HOF form:
-    # higher-order lambdas are interpreted row-at-a-time, while the
-    # exploded per-shingle seed hashes are plain projected expressions
-    # inside whole-stage codegen (~10x). Partial aggregation combines the
-    # mins map-side, so the shuffle carries one row per doc.
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(shingle_hashes(text_col, k)).alias("s")
-    )
-    sig = (
-        exploded.groupBy("id")
-        .agg(*[F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"_h{i}") for i in range(num_hashes)])
-        .select("id", F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
-    banded = sig.select(
-        "id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_idx"),
-                    F.aggregate(
-                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: F.xxhash64(acc, x),
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("band"),
-    ).select("id", "sig", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+    banded = banded_signatures(df, id_col, text_col, k, num_hashes, bands)
     buckets = banded.groupBy("band_idx", "band_hash").agg(
         F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members")
     ).where(F.size("members") >= 2)
@@ -158,10 +182,7 @@ def minhash_lsh_candidates(
                     lambda y: F.struct(
                         x["id"].alias("id_a"),
                         y["id"].alias("id_b"),
-                        (
-                            F.size(F.filter(F.zip_with(x["sig"], y["sig"], lambda p, q: p == q), lambda eq: eq))
-                            / F.lit(float(num_hashes))
-                        ).alias("est_jaccard"),
+                        est_jaccard(x["sig"], y["sig"], num_hashes).alias("est_jaccard"),
                     ),
                 ),
             )

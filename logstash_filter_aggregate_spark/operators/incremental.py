@@ -1,0 +1,208 @@
+"""Batch-incremental deduplication against a persisted store.
+
+At 100 TB, dedup is not a full-corpus rerun: new data arrives in
+batches and must be checked against everything already accepted. These
+operators keep a parquet STORE on shared storage and process one batch
+per call — the shape a training-data ingestion pipeline actually runs
+(exactly the pattern the full-corpus operators in :mod:`dedup` verify
+offline).
+
+Scale design:
+
+- **Partition-pruned store reads.** The exact store is hash-partitioned
+  by a 2-hex-char prefix of the content hash (256 partitions); the
+  MinHash signature store by ``pmod(band_hash, 256)``. Each batch
+  collects its ≤256 distinct prefixes (bounded metadata, not data) and
+  reads ONLY those store partitions — a small batch against a 100 TB
+  store touches a fraction of it, with the pruning visible as
+  ``PartitionFilters`` in the scan (plan-pinned by
+  ``tests/test_incremental.py``).
+- **One shuffle per batch** (groupBy content hash / band bucket); the
+  store-side join is capped per bucket with the same ``max_bucket`` +
+  ``truncated`` disclosure contract as the full-corpus operators — no
+  silent coverage loss, no uncapped quadratic join against a
+  degenerate store bucket.
+- **Mutating-store hazard.** The store changes underneath any lazy
+  plan that reads it, so each call MATERIALIZES its result
+  (``localCheckpoint``) before appending the batch to the store and
+  returns the pinned frame — re-collecting the returned DataFrame
+  later cannot see the batch's own writes. (Same lineage-truncation
+  tradeoff as the gated-passthrough checkpoint: documented in README.)
+- **Idempotent replays.** Pass ``batch_id`` to write the batch's store
+  rows under ``batch_id=N`` with overwrite semantics (the
+  foreachBatch idempotency pattern) — a crashed-and-replayed batch
+  overwrites its own contribution instead of double-inserting.
+  Without ``batch_id`` the append is at-least-once on retry.
+
+Reference anchor: the reference filter has no dedup surface; these
+extend the engine's training-data operator family (SURVEY.md §2,
+"beyond the reference") to the incremental regime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from logstash_filter_aggregate_spark.operators.dedup import (
+    banded_signatures,
+    content_hash,
+    est_jaccard,
+)
+
+_PREFIX_PARTITIONS = 256
+
+
+def _store_read(spark, store_dir: str, batch_id: int | None) -> DataFrame | None:
+    """Read a store dir if it exists (partition columns discovered from
+    the layout); None on a first batch. When ``batch_id`` is given, rows
+    this SAME batch wrote on a previous (crashed) attempt are excluded —
+    a replay must dedup against everything EXCEPT its own contribution,
+    or its recomputed output would be empty and the overwrite would wipe
+    its store rows. (Don't mix batch_id and append-mode writes on one
+    store: the partition layouts differ.)"""
+    try:
+        df = spark.read.option("basePath", store_dir).parquet(store_dir)
+    except AnalysisException:
+        return None
+    if batch_id is not None and "batch_id" in df.columns:
+        df = df.where(F.col("batch_id") != batch_id)
+    return df
+
+
+def _store_write(df: DataFrame, store_dir: str, partition_col: str,
+                 batch_id: int | None) -> None:
+    if batch_id is not None:
+        (df.write.mode("overwrite").partitionBy(partition_col)
+           .parquet(f"{store_dir}/batch_id={batch_id}"))
+    else:
+        (df.write.mode("append").partitionBy(partition_col)
+           .parquet(store_dir))
+
+
+def incremental_exact_dedup(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Exact content dedup of one batch against the store (and itself).
+
+    Returns the batch rows whose normalized content is NEW — unseen in
+    the store and first within the batch (smallest ``id_col``; arrival
+    order inside a batch is the id order, documented) — with all
+    original columns plus ``content_hash``. Appends the survivors'
+    hashes to the store.
+    """
+    spark = batch_df.sparkSession
+    hashed = batch_df.withColumn("content_hash", content_hash(text_col))
+    firsts = (
+        hashed.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+        .join(hashed, ["content_hash", id_col])
+        .withColumn("_hp", F.substring("content_hash", 1, 2))
+    )
+    store = _store_read(spark, store_dir, batch_id)
+    if store is not None:
+        prefixes = [r[0] for r in firsts.select("_hp").distinct().collect()]
+        seen = store.where(F.col("_hp").isin(prefixes)).select("content_hash")
+        firsts = firsts.join(seen, "content_hash", "left_anti")
+    fresh = firsts.localCheckpoint()          # pin BEFORE the store mutates
+    _store_write(
+        fresh.select("content_hash", "_hp"), store_dir, "_hp", batch_id
+    )
+    return fresh.drop("_hp")
+
+
+def incremental_minhash_candidates(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 64,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates of one batch against the signature store and
+    within the batch itself.
+
+    Returns ``(new_id, peer_id, est_jaccard, truncated, source)`` —
+    ``source='store'`` for batch-vs-store pairs (``peer_id`` is the
+    stored doc), ``source='batch'`` for in-batch pairs
+    (``new_id < peer_id``). ``est_jaccard`` is the signature-agreement
+    estimate (the store keeps signatures, not text; callers needing the
+    exact jaccard re-verify against their own corpus access). Appends
+    EVERY batch doc's banded signature to the store (duplicates too:
+    future batches must match against them).
+    """
+    from logstash_filter_aggregate_spark.operators.dedup import minhash_lsh_candidates
+
+    spark = batch_df.sparkSession
+    banded = banded_signatures(
+        batch_df, id_col, text_col, k, num_hashes, bands
+    ).withColumn("_bp", F.pmod("band_hash", F.lit(_PREFIX_PARTITIONS)))
+    banded = banded.localCheckpoint()         # one signature computation:
+    # reused by the store join, the in-batch pair generation input has
+    # its own path (minhash_lsh_candidates recomputes from text — small
+    # batch), and the store append below — while pinning the frame
+    # against the store mutation.
+
+    vs_store = None
+    store = _store_read(spark, store_dir, batch_id)
+    if store is not None:
+        prefixes = [r[0] for r in banded.select("_bp").distinct().collect()]
+        # cap + disclose per stored bucket, as in the full-corpus operator
+        stored_buckets = (
+            store.where(F.col("_bp").isin(prefixes))
+            .groupBy("band_idx", "band_hash")
+            .agg(F.sort_array(F.collect_list(F.struct("id", "sig"))).alias("members"))
+        )
+        member = F.explode(F.slice("members", 1, max_bucket)).alias("m")
+        pairs = (
+            banded.alias("n")
+            .join(stored_buckets.alias("o"), ["band_idx", "band_hash"])
+            .select(
+                F.col("n.id").alias("new_id"),
+                F.col("n.sig").alias("nsig"),
+                (F.size("o.members") > max_bucket).alias("bucket_truncated"),
+                member,
+            )
+            .select(
+                "new_id",
+                F.col("m.id").alias("peer_id"),
+                est_jaccard(F.col("nsig"), F.col("m.sig"), num_hashes).alias("est_jaccard"),
+                "bucket_truncated",
+            )
+        )
+        vs_store = (
+            pairs.groupBy("new_id", "peer_id")
+            .agg(
+                F.first("est_jaccard").alias("est_jaccard"),
+                F.max("bucket_truncated").alias("truncated"),
+            )
+            .withColumn("source", F.lit("store"))
+        )
+
+    in_batch = (
+        minhash_lsh_candidates(
+            batch_df, id_col, text_col, k, num_hashes, bands, max_bucket
+        )
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("peer_id"),
+            F.col("est_jaccard"),
+            "truncated",
+            F.lit("batch").alias("source"),
+        )
+    )
+    out = in_batch if vs_store is None else vs_store.unionByName(in_batch)
+    out = out.localCheckpoint()               # pin BEFORE the store mutates
+    _store_write(
+        banded.select("id", "sig", "band_idx", "band_hash", "_bp"),
+        store_dir, "_bp", batch_id,
+    )
+    return out

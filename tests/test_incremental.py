@@ -1,0 +1,145 @@
+"""Batch-incremental dedup (operators/incremental.py) vs the
+full-corpus operators and the store contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_aggregate_spark.operators import dedup
+from logstash_filter_aggregate_spark.operators.incremental import (
+    incremental_exact_dedup,
+    incremental_minhash_candidates,
+)
+
+
+def _corpus(spark, n=60, dup_every=4):
+    rows = []
+    for i in range(n):
+        base = i - 3 if i % dup_every == 3 else i   # every 4th repeats i-3's text
+        rows.append((i, f"document {base} talks about spark shuffles row {base % 5}"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_exact_equals_full_corpus(spark, tmp_path):
+    # survivors across 3 batches == the full-corpus exact dedup's
+    # canonical ids (min doc_id per content; batch splits respect id
+    # order, so in-batch firsts compose)
+    df = _corpus(spark)
+    store = str(tmp_path / "store")
+    survivors = []
+    for b, (lo, hi) in enumerate([(0, 20), (20, 40), (40, 60)]):
+        out = incremental_exact_dedup(
+            df.where(f"doc_id >= {lo} and doc_id < {hi}"), store, batch_id=b
+        )
+        survivors += [r.doc_id for r in out.select("doc_id").collect()]
+    full = sorted(
+        r.canonical_id for r in dedup.exact_dedup(df).collect()
+    )
+    assert sorted(survivors) == full
+
+
+def test_incremental_exact_batch_id_replay_idempotent(spark, tmp_path):
+    # a crashed-and-replayed batch overwrites its own store contribution
+    df = _corpus(spark)
+    store = str(tmp_path / "store")
+    incremental_exact_dedup(df.where("doc_id < 20"), store, batch_id=0)
+    out_a = incremental_exact_dedup(
+        df.where("doc_id >= 20 and doc_id < 40"), store, batch_id=1
+    )
+    n_store = spark.read.option("basePath", store).parquet(store).count()
+    out_b = incremental_exact_dedup(
+        df.where("doc_id >= 20 and doc_id < 40"), store, batch_id=1
+    )
+    assert spark.read.option("basePath", store).parquet(store).count() == n_store
+    a = sorted(r.doc_id for r in out_a.collect())
+    # REPLAY returns empty or same set? Replay sees batch 0's rows plus
+    # its OWN earlier contribution (already in the store) — documented
+    # at-least-once output on replay is the batch's store overwrite, so
+    # the row output may be empty; what must hold is store idempotency
+    # and that a later batch is unaffected:
+    out_c = incremental_exact_dedup(
+        df.where("doc_id >= 40"), store, batch_id=2
+    )
+    # survivors of batches 0 + 1 + 2 must still equal the full corpus
+    full = sorted(r.canonical_id for r in dedup.exact_dedup(df).collect())
+    b0 = sorted(
+        r.canonical_id
+        for r in dedup.exact_dedup(df.where("doc_id < 20")).collect()
+    )
+    got = sorted(b0 + a + [r.doc_id for r in out_c.select("doc_id").collect()])
+    assert got == full
+    assert len(out_b.columns) == len(out_a.columns)
+
+
+def test_incremental_exact_result_pinned_against_store_mutation(spark, tmp_path):
+    # the returned frame is materialized BEFORE the store append: a later
+    # batch's store writes must not change an earlier result re-collected
+    # afterwards (a lazy plan re-reading the store would see its own and
+    # later batches' hashes and return nothing)
+    df = _corpus(spark)
+    store = str(tmp_path / "store")
+    out1 = incremental_exact_dedup(df.where("doc_id < 20"), store, batch_id=0)
+    n1_before = out1.count()
+    incremental_exact_dedup(df.where("doc_id >= 20"), store, batch_id=1)
+    assert out1.count() == n1_before > 0
+
+
+def test_incremental_store_layout_enables_partition_pruning(spark, tmp_path):
+    # the store is hash-prefix partitioned and a prefix IN-filter reaches
+    # the scan as a PartitionFilter — the read path a batch performs
+    import os
+
+    df = _corpus(spark)
+    store = str(tmp_path / "store")
+    incremental_exact_dedup(df, store, batch_id=0)
+    subdirs = {
+        d for d in os.listdir(f"{store}/batch_id=0") if d.startswith("_hp=")
+    }
+    assert len(subdirs) > 1  # hash prefixes spread across partitions
+    pruned = (
+        spark.read.option("basePath", store).parquet(store)
+        .where(F.col("_hp").isin(*sorted(subdirs)[0][4:6]))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_hp" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_incremental_minhash_planted_recall_and_store_growth(spark, tmp_path):
+    # planted copies arriving in a LATER batch must surface as
+    # batch-vs-store candidates at est_jaccard 1.0; in-batch pairs keep
+    # the full-corpus operator's contract
+    df = _corpus(spark)
+    store = str(tmp_path / "sigstore")
+    b1 = df.where("doc_id < 30")
+    planted = b1.where("doc_id < 5").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    b2 = df.where("doc_id >= 30").unionByName(planted)
+    incremental_minhash_candidates(b1, store, k=3, num_hashes=16, bands=16, batch_id=0)
+    out = incremental_minhash_candidates(b2, store, k=3, num_hashes=16, bands=16, batch_id=1)
+    got = {
+        (r.new_id, r.peer_id)
+        for r in out.where("source = 'store' and est_jaccard = 1.0").collect()
+    }
+    for i in range(5):
+        assert (1000 + i, i) in got, (i, sorted(got))
+    # every stored doc's signature is in the store (dups included)
+    n_sig_rows = spark.read.option("basePath", store).parquet(store).count()
+    assert n_sig_rows == (b1.count() + b2.count()) * 16  # one row per band
+
+
+def test_incremental_minhash_truncation_disclosed(spark, tmp_path):
+    # a degenerate store bucket (many identical docs) trips max_bucket:
+    # candidates stay bounded and carry truncated=true, never silent
+    rows = [(i, "same exact text every time") for i in range(40)]
+    b1 = spark.createDataFrame(rows, "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(100, "same exact text every time")], "doc_id long, text string"
+    )
+    store = str(tmp_path / "sigstore")
+    incremental_minhash_candidates(b1, store, k=3, num_hashes=16, bands=16,
+                                   max_bucket=8, batch_id=0)
+    out = incremental_minhash_candidates(b2, store, k=3, num_hashes=16, bands=16,
+                                         max_bucket=8, batch_id=1)
+    vs = out.where("source = 'store'").collect()
+    assert 0 < len(vs) <= 8
+    assert all(r.truncated for r in vs)
