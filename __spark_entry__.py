@@ -23,6 +23,7 @@ summation-order noise.
 
 from __future__ import annotations
 
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1006,6 +1007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         store = f"/tmp/spark_graft_inc/{uuid.uuid4().hex}"
         s1 = incremental_exact_dedup(d.where(F.col("doc_id") < mid), store, batch_id=0)
         s2 = incremental_exact_dedup(d.where(F.col("doc_id") >= mid), store, batch_id=1)
+        # s1/s2 are localCheckpoint-pinned inside the operator, so the
+        # throwaway store can be dropped before the driver collects
+        shutil.rmtree(store, ignore_errors=True)
         return s1.unionByName(s2).select("doc_id", "content_hash")
     q["dd_incremental_exact"] = dd_incremental_exact
 
@@ -1036,6 +1040,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cand = incremental_minhash_candidates(
             b2, store, k=3, num_hashes=16, bands=16, max_bucket=4096, batch_id=1
         ).where("source = 'store'")
+        # cand is localCheckpoint-pinned inside the operator: drop the
+        # throwaway store now rather than accumulating /tmp dirs per run
+        shutil.rmtree(store, ignore_errors=True)
         n1, o1 = b1.alias("n"), b2.alias("o")
         exact = o1.join(n1, F.col("o.text") == F.col("n.text")).select(
             F.col("o.doc_id").alias("new_id"), F.col("n.doc_id").alias("peer_id")

@@ -11,7 +11,13 @@ Scale design:
 
 - **Partition-pruned store reads.** The exact store is hash-partitioned
   by a 2-hex-char prefix of the content hash (256 partitions); the
-  MinHash signature store by ``pmod(band_hash, 256)``. Each batch
+  MinHash signature store by ``pmod(band_hash, 256)``. The hash prefix
+  is stored as ``h<2 hex chars>`` — the leading non-digit defeats
+  Spark's partition-column type inference, which would otherwise parse
+  an all-digit partition set (e.g. a small store whose only dirs are
+  ``_hp=07``, ``_hp=12``) as integers, silently failing the string
+  ``isin`` prune and re-admitting duplicates. ``_bp`` is numeric on
+  both the write and filter side, so inference is safe there. Each batch
   collects its ≤256 distinct prefixes (bounded metadata, not data) and
   reads ONLY those store partitions — a small batch against a 100 TB
   store touches a fraction of it, with the pruning visible as
@@ -102,7 +108,11 @@ def incremental_exact_dedup(
         hashed.groupBy("content_hash")
         .agg(F.min(id_col).alias(id_col))
         .join(hashed, ["content_hash", id_col])
-        .withColumn("_hp", F.substring("content_hash", 1, 2))
+        .withColumn(
+            # 'h' prefix: keeps the partition values non-digit so type
+            # inference can never turn them into ints (see module doc)
+            "_hp", F.concat(F.lit("h"), F.substring("content_hash", 1, 2))
+        )
     )
     store = _store_read(spark, store_dir, batch_id)
     if store is not None:

@@ -162,6 +162,11 @@ def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
         km = known[lo:hi]
         if not km.all():
             sel = sel[km]
+        if sel.size == 0:
+            continue    # transparent rows only: state untouched this batch
+        # only tasks whose state actually advanced are exempt from this
+        # invocation's eviction (advice r5: a transparent-only task must
+        # stay evictable, same micro-batch its per-key timer would fire)
         touched.add(task)
         cell = cells.get(task)
         init = None
@@ -171,11 +176,6 @@ def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
                 cell[_TO] if cell[_TO] is not None else timeout_s,
                 cell[_IN] if cell[_IN] is not None else inactivity_s,
             )
-        if sel.size == 0:
-            if cell is None:
-                continue
-            # transparent rows only: state untouched this batch
-            continue
         res = walk_scan(
             ts_s[sel], is_create[sel], is_update[sel], end_flag[sel],
             ct[sel], ci[sel], init, timeout_s, inactivity_s,

@@ -95,12 +95,54 @@ def test_incremental_store_layout_enables_partition_pruning(spark, tmp_path):
         d for d in os.listdir(f"{store}/batch_id=0") if d.startswith("_hp=")
     }
     assert len(subdirs) > 1  # hash prefixes spread across partitions
+    prefix = sorted(subdirs)[0].split("=", 1)[1]   # e.g. 'h07'
+    assert not prefix.isdigit()  # 'h' guard keeps inference off (advice r5)
     pruned = (
         spark.read.option("basePath", store).parquet(store)
-        .where(F.col("_hp").isin(*sorted(subdirs)[0][4:6]))
+        .where(F.col("_hp").isin(prefix))
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "_hp" in plan.split("PartitionFilters", 1)[1][:200]
+    # pruning must also RETURN the right rows, not just show in the plan:
+    # the pruned read equals a post-hoc filter of the full store read
+    full = spark.read.option("basePath", store).parquet(store)
+    expect = {r.content_hash for r in full.collect() if r._hp == prefix}
+    got = {r.content_hash for r in pruned.collect()}
+    assert got == expect and len(got) > 0
+
+
+def test_incremental_exact_digit_only_partition_set_still_prunes(spark, tmp_path):
+    # regression (r5 advice, medium): a store whose every _hp partition
+    # value would be all-digits without the 'h' guard must still match
+    # string prefixes on the pruned read — duplicates across batches are
+    # rejected, not silently re-admitted
+    import hashlib
+
+    # craft texts whose content hash (md5 of the normalized text — these
+    # are already lowercase alnum + single spaces) starts with two digits
+    def digit_prefixed(n):
+        rows, i = [], 0
+        while len(rows) < n:
+            t = f"digit hunt text {i}"
+            if hashlib.md5(t.encode()).hexdigest()[:2].isdigit():
+                rows.append((len(rows), t))
+            i += 1
+        return rows
+
+    rows = digit_prefixed(6)
+    store = str(tmp_path / "store")
+    b1 = spark.createDataFrame(rows[:3], "doc_id long, text string")
+    # batch 2 repeats batch 1's texts under new ids plus 3 fresh ones
+    b2 = spark.createDataFrame(
+        [(100 + i, t) for i, (_j, t) in enumerate(rows[:3])]
+        + [(200 + i, t) for i, (_j, t) in enumerate(rows[3:])],
+        "doc_id long, text string",
+    )
+    out1 = incremental_exact_dedup(b1, store, batch_id=0)
+    assert out1.count() == 3
+    out2 = incremental_exact_dedup(b2, store, batch_id=1)
+    ids = sorted(r.doc_id for r in out2.select("doc_id").collect())
+    assert ids == [200, 201, 202], ids  # repeats rejected via store prune
 
 
 def test_incremental_minhash_planted_recall_and_store_growth(spark, tmp_path):
