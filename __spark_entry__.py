@@ -1059,6 +1059,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).unionByName(guard)
     q["dd_incremental_minhash"] = dd_incremental_minhash
 
+    def dd_incremental_embedding(spark, sf):
+        # property oracle for the incremental ANN near-dup path: batch 2
+        # carries planted copies of 5 batch-1 vectors; identical embedding
+        # => identical hyperplane signature => same store bucket => exact
+        # cosine verifies at 1.0. Engine store-pairs ∩ the cross-batch
+        # identical-embedding relation must equal that relation.
+        import uuid
+
+        from logstash_filter_aggregate_spark.operators.incremental import (
+            incremental_embedding_candidates,
+        )
+
+        e = _emb(spark, sf).select("vec_id", "embedding")
+        mid = (e.agg(F.max("vec_id")).first()[0] + 1) // 2
+        b1 = e.where(F.col("vec_id") < mid)
+        planted = b1.where("vec_id < 5").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        b2 = e.where(F.col("vec_id") >= mid).unionByName(planted)
+        store = f"/tmp/spark_graft_inc/{uuid.uuid4().hex}"
+        incremental_embedding_candidates(
+            b1, store, num_planes=8, min_cosine=0.99, max_bucket=8192, batch_id=0
+        )
+        cand = incremental_embedding_candidates(
+            b2, store, num_planes=8, min_cosine=0.99, max_bucket=8192, batch_id=1
+        ).where("source = 'store'")
+        shutil.rmtree(store, ignore_errors=True)  # cand is checkpoint-pinned
+        n1, o1 = b1.alias("n"), b2.alias("o")
+        exact = o1.join(
+            n1, F.col("o.embedding") == F.col("n.embedding")
+        ).select(
+            F.col("o.vec_id").alias("new_id"), F.col("n.vec_id").alias("peer_id")
+        )
+        corpus = b1.unionByName(b2)
+        cand, guard = _flood_guard(cand, corpus, 0.05, [
+            F.lit(-1).cast("long").alias("new_id"),
+            F.lit(-1).cast("long").alias("peer_id"),
+            F.lit(-1.0).alias("cos"),
+        ])
+        return cand.join(exact, ["new_id", "peer_id"]).select(
+            "new_id", "peer_id",
+            F.round("cos_sim", 4).cast("double").alias("cos"),
+        ).unionByName(guard)
+    q["dd_incremental_embedding"] = dd_incremental_embedding
+
     # --- similarity family
     def sim_brute(spark, sf):
         out = similarity.brute_force_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
@@ -1772,6 +1817,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT o.doc_id AS new_id, n.doc_id AS peer_id,
                CAST(1.0 AS DOUBLE) AS est_j
         FROM b2 o JOIN b1 n ON o.text = n.text
+    """
+    # incremental embedding property oracle: planted identical embeddings
+    # in batch 2 must surface as batch-vs-store pairs at exact cosine 1.0
+    o["dd_incremental_embedding"] = """
+        WITH mid AS (SELECT (max(vec_id) + 1) // 2 AS m FROM embeddings),
+        b1 AS (SELECT vec_id, embedding FROM embeddings, mid WHERE vec_id < m),
+        b2 AS (
+          SELECT vec_id, embedding FROM embeddings, mid WHERE vec_id >= m
+          UNION ALL
+          SELECT vec_id + 1000000, embedding FROM embeddings, mid
+          WHERE vec_id < 5 AND vec_id < m
+        )
+        SELECT o.vec_id AS new_id, n.vec_id AS peer_id,
+               CAST(1.0 AS DOUBLE) AS cos
+        FROM b2 o JOIN b1 n ON o.embedding = n.embedding
     """
     # property oracle for embedding near-dup: planted identical embeddings
     # share the full LSH signature and verify at cosine 1.0

@@ -39,6 +39,18 @@ Scale design:
   foreachBatch idempotency pattern) — a crashed-and-replayed batch
   overwrites its own contribution instead of double-inserting.
   Without ``batch_id`` the append is at-least-once on retry.
+- **SINGLE WRITER, enforced.** Two batches deduping against one store
+  concurrently race: each misses the other's in-flight rows
+  (append-mode double-insert; batch_id overwrite assumes distinct
+  ids), so each call takes an exclusive writer lease
+  (``_writer_lease``: an ``O_EXCL`` lease file in the store dir, held
+  for the whole read-dedup-append span) and raises
+  :class:`ConcurrentWriterError` if another writer holds it.
+  Orchestrate batches sequentially per store; parallelism belongs
+  INSIDE a batch (Spark) or ACROSS stores. Crashed writers are
+  recovered by the ``lease_ttl_s`` expiry. The lease file is
+  POSIX-atomic (local/NFS-style filesystems); on object stores front
+  the store with a real lock service instead.
 
 Reference anchor: the reference filter has no dedup surface; these
 extend the engine's training-data operator family (SURVEY.md §2,
@@ -46,6 +58,11 @@ extend the engine's training-data operator family (SURVEY.md §2,
 """
 
 from __future__ import annotations
+
+import os
+import time
+import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -58,6 +75,54 @@ from logstash_filter_aggregate_spark.operators.dedup import (
 )
 
 _PREFIX_PARTITIONS = 256
+_LEASE_NAME = "_writer_lease"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another incremental-dedup call holds this store's writer lease.
+
+    The store contract is single-writer (module doc): retry after the
+    holder finishes, or shard your ingestion across stores."""
+
+
+@contextmanager
+def _writer_lease(store_dir: str, lease_ttl_s: float = 3600.0):
+    """Exclusive writer lease over one store dir, held for the whole
+    read-dedup-append span. ``O_CREAT|O_EXCL`` is the atomic primitive;
+    a lease older than ``lease_ttl_s`` is treated as a crashed writer
+    and reclaimed (the reclaim itself re-races through O_EXCL)."""
+    os.makedirs(store_dir, exist_ok=True)
+    path = os.path.join(store_dir, _LEASE_NAME)
+    token = uuid.uuid4().hex
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{token} {time.time()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue            # holder released between checks: retry
+            if age <= lease_ttl_s:
+                raise ConcurrentWriterError(
+                    f"store {store_dir} has an active writer lease "
+                    f"({age:.0f}s old, ttl {lease_ttl_s:.0f}s); incremental "
+                    "stores are single-writer — run batches sequentially "
+                    "per store or use separate stores"
+                ) from None
+            try:                    # stale: crashed writer — reclaim
+                os.unlink(path)
+            except OSError:
+                pass
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def _store_read(spark, store_dir: str, batch_id: int | None) -> DataFrame | None:
@@ -93,6 +158,7 @@ def incremental_exact_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     batch_id: int | None = None,
+    lease_ttl_s: float = 3600.0,
 ) -> DataFrame:
     """Exact content dedup of one batch against the store (and itself).
 
@@ -100,30 +166,33 @@ def incremental_exact_dedup(
     the store and first within the batch (smallest ``id_col``; arrival
     order inside a batch is the id order, documented) — with all
     original columns plus ``content_hash``. Appends the survivors'
-    hashes to the store.
+    hashes to the store. Holds the store's writer lease throughout
+    (single-writer contract, module doc); raises
+    :class:`ConcurrentWriterError` if another batch is mid-flight.
     """
     spark = batch_df.sparkSession
-    hashed = batch_df.withColumn("content_hash", content_hash(text_col))
-    firsts = (
-        hashed.groupBy("content_hash")
-        .agg(F.min(id_col).alias(id_col))
-        .join(hashed, ["content_hash", id_col])
-        .withColumn(
-            # 'h' prefix: keeps the partition values non-digit so type
-            # inference can never turn them into ints (see module doc)
-            "_hp", F.concat(F.lit("h"), F.substring("content_hash", 1, 2))
+    with _writer_lease(store_dir, lease_ttl_s):
+        hashed = batch_df.withColumn("content_hash", content_hash(text_col))
+        firsts = (
+            hashed.groupBy("content_hash")
+            .agg(F.min(id_col).alias(id_col))
+            .join(hashed, ["content_hash", id_col])
+            .withColumn(
+                # 'h' prefix: keeps the partition values non-digit so type
+                # inference can never turn them into ints (see module doc)
+                "_hp", F.concat(F.lit("h"), F.substring("content_hash", 1, 2))
+            )
         )
-    )
-    store = _store_read(spark, store_dir, batch_id)
-    if store is not None:
-        prefixes = [r[0] for r in firsts.select("_hp").distinct().collect()]
-        seen = store.where(F.col("_hp").isin(prefixes)).select("content_hash")
-        firsts = firsts.join(seen, "content_hash", "left_anti")
-    fresh = firsts.localCheckpoint()          # pin BEFORE the store mutates
-    _store_write(
-        fresh.select("content_hash", "_hp"), store_dir, "_hp", batch_id
-    )
-    return fresh.drop("_hp")
+        store = _store_read(spark, store_dir, batch_id)
+        if store is not None:
+            prefixes = [r[0] for r in firsts.select("_hp").distinct().collect()]
+            seen = store.where(F.col("_hp").isin(prefixes)).select("content_hash")
+            firsts = firsts.join(seen, "content_hash", "left_anti")
+        fresh = firsts.localCheckpoint()      # pin BEFORE the store mutates
+        _store_write(
+            fresh.select("content_hash", "_hp"), store_dir, "_hp", batch_id
+        )
+        return fresh.drop("_hp")
 
 
 def incremental_minhash_candidates(
@@ -136,6 +205,7 @@ def incremental_minhash_candidates(
     bands: int = 4,
     max_bucket: int = 64,
     batch_id: int | None = None,
+    lease_ttl_s: float = 3600.0,
 ) -> DataFrame:
     """Near-dup candidates of one batch against the signature store and
     within the batch itself.
@@ -147,11 +217,22 @@ def incremental_minhash_candidates(
     estimate (the store keeps signatures, not text; callers needing the
     exact jaccard re-verify against their own corpus access). Appends
     EVERY batch doc's banded signature to the store (duplicates too:
-    future batches must match against them).
+    future batches must match against them). Holds the store's writer
+    lease throughout (single-writer contract, module doc).
     """
     from logstash_filter_aggregate_spark.operators.dedup import minhash_lsh_candidates
 
     spark = batch_df.sparkSession
+    with _writer_lease(store_dir, lease_ttl_s):
+        return _minhash_locked(
+            spark, batch_df, store_dir, id_col, text_col, k, num_hashes,
+            bands, max_bucket, batch_id, minhash_lsh_candidates,
+        )
+
+
+def _minhash_locked(spark, batch_df, store_dir, id_col, text_col, k,
+                    num_hashes, bands, max_bucket, batch_id,
+                    minhash_lsh_candidates) -> DataFrame:
     banded = banded_signatures(
         batch_df, id_col, text_col, k, num_hashes, bands
     ).withColumn("_bp", F.pmod("band_hash", F.lit(_PREFIX_PARTITIONS)))
@@ -216,3 +297,99 @@ def incremental_minhash_candidates(
         store_dir, "_bp", batch_id,
     )
     return out
+
+
+def incremental_embedding_candidates(
+    batch_df: DataFrame,
+    store_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 16,
+    dim: int = 64,
+    min_cosine: float = 0.9,
+    max_bucket: int = 256,
+    batch_id: int | None = None,
+    lease_ttl_s: float = 3600.0,
+) -> DataFrame:
+    """Embedding-cosine near-dup of one batch against the signature
+    store and within the batch itself — the ANN analog of
+    :func:`incremental_minhash_candidates` for multimodal/embedding
+    pipelines.
+
+    The store keeps every arrived vector's random-hyperplane signature
+    (:func:`similarity.hyperplane_signature` — deterministic, so batch
+    and store signatures agree across calls) AND the vector itself,
+    partitioned by ``pmod(sig, 256)`` for the same ≤256-partition pruned
+    read. Unlike the MinHash store (signatures only), keeping the
+    vector lets batch-vs-store pairs verify with the EXACT cosine — no
+    estimate caveat.
+
+    Returns ``(new_id, peer_id, cos_sim, truncated, source)`` with
+    ``cos_sim >= min_cosine``; ``source='store'`` pairs a batch vector
+    with a stored one, ``source='batch'`` is the in-batch relation
+    (:func:`similarity.embedding_near_dup_pairs`, ``new_id < peer_id``).
+    Store buckets are capped at ``max_bucket`` members with a
+    ``truncated`` disclosure — clustered embeddings make signature
+    buckets hot, and an uncapped join against a degenerate bucket is
+    the one quadratic hazard here. Holds the writer lease throughout
+    (single-writer contract, module doc); ``batch_id`` gives
+    overwrite-replay idempotency as in the other stores.
+    """
+    from logstash_filter_aggregate_spark.operators.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+        hyperplane_signature,
+    )
+
+    spark = batch_df.sparkSession
+    with _writer_lease(store_dir, lease_ttl_s):
+        sigged = batch_df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            hyperplane_signature(F.col(vec_col), num_planes, dim).alias("sig"),
+        ).withColumn("_sp", F.pmod("sig", F.lit(_PREFIX_PARTITIONS)))
+        sigged = sigged.localCheckpoint()     # one signature computation,
+        # reused by the store join and the append; pinned vs the mutation
+
+        vs_store = None
+        store = _store_read(spark, store_dir, batch_id)
+        if store is not None:
+            prefixes = [r[0] for r in sigged.select("_sp").distinct().collect()]
+            stored_buckets = (
+                store.where(F.col("_sp").isin(prefixes))
+                .groupBy("sig")
+                .agg(F.sort_array(F.collect_list(F.struct("id", "v"))).alias("members"))
+            )
+            member = F.explode(F.slice("members", 1, max_bucket)).alias("m")
+            vs_store = (
+                sigged.alias("n")
+                .join(stored_buckets.alias("o"), "sig")
+                .select(
+                    F.col("n.id").alias("new_id"),
+                    F.col("n.v").alias("nv"),
+                    (F.size("o.members") > max_bucket).alias("truncated"),
+                    member,
+                )
+                .select(
+                    "new_id",
+                    F.col("m.id").alias("peer_id"),
+                    cosine(F.col("nv"), F.col("m.v")).alias("cos_sim"),
+                    "truncated",
+                )
+                .where(F.col("cos_sim") >= min_cosine)
+                .withColumn("source", F.lit("store"))
+            )
+
+        in_batch = embedding_near_dup_pairs(
+            batch_df, id_col, vec_col, num_planes, dim, min_cosine, max_bucket
+        ).select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("peer_id"),
+            "cos_sim",
+            "truncated",
+            F.lit("batch").alias("source"),
+        )
+        out = in_batch if vs_store is None else vs_store.unionByName(in_batch)
+        out = out.localCheckpoint()           # pin BEFORE the store mutates
+        _store_write(sigged, store_dir, "_sp", batch_id)
+        return out

@@ -11,8 +11,9 @@ identity 262 s cold vs gated passthrough 133 s warm at 3M turns /
 the key space itself must shrink.
 
 This module keys the state by ``hash(task_id) % shards`` instead and
-keeps every live task's cell inside ONE state row per shard (a JSON
-dict ``task_id -> [creation, last, nevents, map, eff_to, eff_in]``).
+keeps every live task's cell inside ONE state row per shard (a dict
+``task_id -> [creation, last, nevents, map, eff_to, eff_in]``, stored
+through the compact binary cell-set codec below).
 Each shard invocation sorts its chunk by ``(task, ts)``, preps the rule
 arrays once, and runs the same numpy session-hop (:func:`walk.walk_scan`)
 per task slice — per-task interpreted work is a ~15 µs walk call, not a
@@ -48,6 +49,8 @@ batch/stream tests and the streaming fuzz family.
 from __future__ import annotations
 
 import json
+import os
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -75,17 +78,83 @@ from logstash_filter_aggregate_spark.streaming.walk import (
     walk_scan,
 )
 
-SHARD_STATE_SCHEMA = T.StructType([T.StructField("cells", T.StringType())])
+SHARD_STATE_SCHEMA = T.StructType([T.StructField("cells", T.BinaryType())])
 
 # cell layout: [creation_s, last_s, nevents, map_dict|None, eff_to|None, eff_in|None]
 _C, _L, _N, _M, _TO, _IN = range(6)
+
+# Cell-set codec. A batch that touches a shard round-trips the shard's
+# ENTIRE live cell set through this codec, so it sits on the per-batch
+# fixed-cost path the r5 probe flagged. The binary layout keeps the
+# numeric fields in one contiguous float64 block (numpy encode/decode,
+# no per-cell stringification) and length-prefixes the task ids; only
+# cells that actually carry an aggregation map pay JSON, batched into a
+# single index-keyed blob. ``SPARK_GRAFT_SHARD_CODEC=json`` keeps the
+# r5 whole-set-JSON behavior for A/B measurement; decode sniffs the
+# magic so either codec can read a running query's state.
+_CODEC = os.environ.get("SPARK_GRAFT_SHARD_CODEC", "binary")
+_MAGIC = b"SGC1"
+
+
+def _encode_cells(cells: dict, codec: str = "binary") -> bytes:
+    if codec == "json":
+        return json.dumps(cells, default=str).encode("utf-8")
+    n = len(cells)
+    num = np.empty((n, 5), dtype=np.float64)
+    tblobs: list[bytes] = []
+    maps: dict[int, dict] = {}
+    for i, (t, c) in enumerate(cells.items()):
+        tblobs.append(t.encode("utf-8"))
+        num[i, 0] = c[_C]
+        num[i, 1] = c[_L]
+        num[i, 2] = c[_N]
+        num[i, 3] = np.nan if c[_TO] is None else c[_TO]
+        num[i, 4] = np.nan if c[_IN] is None else c[_IN]
+        if c[_M]:
+            maps[i] = c[_M]
+    lens = np.fromiter((len(b) for b in tblobs), dtype=np.int32, count=n)
+    maps_b = json.dumps(maps, default=str).encode("utf-8") if maps else b""
+    return b"".join((
+        _MAGIC, struct.pack("<QQ", n, len(maps_b)),
+        lens.tobytes(), num.tobytes(), b"".join(tblobs), maps_b,
+    ))
+
+
+def _decode_cells(raw) -> dict:
+    raw = bytes(raw)
+    if raw[:4] != _MAGIC:       # json-codec state (A/B runs)
+        return json.loads(raw.decode("utf-8"))
+    n, mlen = struct.unpack_from("<QQ", raw, 4)
+    off = 20
+    lens = np.frombuffer(raw, dtype=np.int32, count=n, offset=off)
+    off += 4 * n
+    num = np.frombuffer(raw, dtype=np.float64, count=5 * n, offset=off)
+    num = num.reshape(n, 5)
+    off += 40 * n
+    tasks: list[str] = []
+    for ln in lens.tolist():
+        tasks.append(raw[off:off + ln].decode("utf-8"))
+        off += ln
+    maps: dict[int, dict] = {}
+    if mlen:
+        maps = {int(k): v for k, v in json.loads(raw[off:off + mlen]).items()}
+    c0 = num[:, 0].tolist()
+    l0 = num[:, 1].tolist()
+    nev = num[:, 2].astype(np.int64).tolist()
+    to = [None if v != v else v for v in num[:, 3].tolist()]   # NaN -> None
+    in_ = [None if v != v else v for v in num[:, 4].tolist()]
+    mg = maps.get
+    return {
+        tasks[i]: [c0[i], l0[i], nev[i], mg(i), to[i], in_[i]]
+        for i in range(n)
+    }
 
 
 def _load_cells(state: GroupState) -> dict:
     if not state.exists:
         return {}
     raw = state.get[0]
-    return json.loads(raw) if raw else {}
+    return _decode_cells(raw) if raw else {}
 
 
 def _cell_expiry_s(cell, timeout_s: float, inactivity_s: float) -> float:
@@ -111,9 +180,10 @@ def _evict_expired(cells: dict, wm_ms: int, timeout_s: float,
     return out
 
 
-def _save(state: GroupState, cells: dict, timeout_s: float, inactivity_s: float) -> None:
+def _save(state: GroupState, cells: dict, timeout_s: float, inactivity_s: float,
+          codec: str = "binary") -> None:
     if cells:
-        state.update((json.dumps(cells, default=str),))
+        state.update((_encode_cells(cells, codec),))
         expiry_ms = int(
             min(_cell_expiry_s(c, timeout_s, inactivity_s) for c in cells.values())
             * 1000
@@ -219,6 +289,8 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
     cancel_map = {r.rule_id: bool(r.cancel) for r in cfg.rules}
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    codec = _CODEC        # captured at build time: pickled with the fn,
+    # so an A/B can flip shard._CODEC between query builds in one session
     _EXC = ["_aggregateexception"]
     _EMPTY: list = []
 
@@ -227,7 +299,7 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
         if state.hasTimedOut:
             _evict_expired(cells, state.getCurrentWatermarkMs(),
                            timeout_s, inactivity_s, set())
-            _save(state, cells, timeout_s, inactivity_s)
+            _save(state, cells, timeout_s, inactivity_s, codec)
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
             return
         chunks = [p for p in pdfs if len(p)]
@@ -264,7 +336,7 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
 
         _evict_expired(cells, state.getCurrentWatermarkMs(),
                        timeout_s, inactivity_s, touched)
-        _save(state, cells, timeout_s, inactivity_s)
+        _save(state, cells, timeout_s, inactivity_s, codec)
 
         kidx = np.flatnonzero(keep)
         out = whole.iloc[kidx][out_cols].copy()
@@ -297,6 +369,7 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
     }
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    codec = _CODEC        # captured at build time (see passthrough note)
     push = cfg.push_map_as_event_on_timeout
     out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
 
@@ -316,7 +389,7 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
                                      timeout_s, inactivity_s, set())
             if push:
                 out_rows.extend(_timeout_row(t, c) for t, c in evicted)
-            _save(state, cells, timeout_s, inactivity_s)
+            _save(state, cells, timeout_s, inactivity_s, codec)
             yield pd.DataFrame(out_rows, columns=out_cols)
             return
 
@@ -409,7 +482,7 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
                                  timeout_s, inactivity_s, touched)
         if push:
             out_rows.extend(_timeout_row(t, c) for t, c in evicted)
-        _save(state, cells, timeout_s, inactivity_s)
+        _save(state, cells, timeout_s, inactivity_s, codec)
         yield pd.DataFrame(out_rows, columns=out_cols)
 
     return fn

@@ -58,6 +58,20 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
+# processing-time mode (O11/O12 in the reference's DEFAULT time model,
+# aggregate.rb:487 `Time.now`): wall-clock deadlines ride in two extra
+# state fields — the absolute age cap set when the map is created, and
+# the wall time of the last arrival (for inactivity-on-arrival checks)
+PROC_STATE_SCHEMA = T.StructType(
+    list(STATE_SCHEMA.fields)
+    + [
+        T.StructField("wall_cap", T.DoubleType()),
+        T.StructField("wall_last", T.DoubleType()),
+    ]
+)
+
+_WALL_INF = float("inf")
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("task_id", T.StringType()),
@@ -266,7 +280,7 @@ def _session_agg_maps(whole, cr_idx, sess_cr, srid, n_sess: int, agg_specs: dict
     return sess_maps
 
 
-def _make_stateful_fn(cfg: PipelineConfig):
+def _make_stateful_fn(cfg: PipelineConfig, time_mode: str = "event"):
     """Build the per-key stateful function: the reference's filter() hot
     path (aggregate.rb:179-255) over one task's micro-batch rows. Agg
     inputs arrive pre-projected as ``_v_<rule>_<name>`` columns so SQL
@@ -278,7 +292,14 @@ def _make_stateful_fn(cfg: PipelineConfig):
     keyed by session (one set of vectorized passes per agg name, not a
     per-row dict update), and the carried ``map_json`` merges into the
     carried session's batch aggregate by each function's combine rule.
-    Interpreted work is O(#sessions + #emit rows), not O(rows)."""
+    Interpreted work is O(#sessions + #emit rows), not O(rows).
+
+    ``time_mode='processing'`` models the reference's DEFAULT clock
+    (``Time.now``, aggregate.rb:487): maps expire ``timeout`` WALL
+    seconds after creation / ``inactivity_timeout`` after the last
+    arrival, checked on arrival and by processing-time timers — event
+    timestamps never split sessions (see
+    :func:`streaming_correlate` for the semantics note)."""
     import numpy as np
 
     from logstash_filter_aggregate_spark.streaming.walk import CT0, END, OPEN, scan_chunk
@@ -293,6 +314,7 @@ def _make_stateful_fn(cfg: PipelineConfig):
     }
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    proc_mode = time_mode == "processing"
     push = cfg.push_map_as_event_on_timeout
     out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
 
@@ -306,27 +328,49 @@ def _make_stateful_fn(cfg: PipelineConfig):
         out_rows: list[dict] = []
 
         if state.hasTimedOut:
-            (c, l, nv, mj, _eto, _ein) = state.get
+            sv = state.get
             if push:
                 out_rows.append(dict(
                     task_id=task_id, sink="timeout",
-                    creation_ts=_ts_us(c), lastevent_ts=_ts_us(l),
-                    nevents=nv, map_json=mj,
+                    creation_ts=_ts_us(sv[0]), lastevent_ts=_ts_us(sv[1]),
+                    nevents=sv[2], map_json=sv[3],
                 ))
             state.remove()
             yield pd.DataFrame(out_rows, columns=out_cols)
             return
 
+        now = state.getCurrentProcessingTimeMs() / 1000.0 if proc_mode else 0.0
         init = None
         init_map: dict = {}
+        carried_cap = None
         if state.exists:
-            (c, l, nv, mj, eto, ein) = state.get
-            init = (
-                c, l, nv,
-                eto if eto is not None else timeout_s,
-                ein if ein is not None else inactivity_s,
-            )
-            init_map = json.loads(mj) if mj else {}
+            sv = state.get
+            c, l, nv, mj, eto, ein = sv[:6]
+            if proc_mode:
+                # wall-clock expiry on arrival (aggregate.rb:194-199 with
+                # the real-time clock): a map whose age cap or inactivity
+                # window lapsed between batches evicts BEFORE this
+                # chunk's guards run — same push as a fired timer
+                wall_cap, wall_last = sv[6], sv[7]
+                if now >= wall_cap or now - wall_last >= inactivity_s:
+                    if push:
+                        out_rows.append(dict(
+                            task_id=task_id, sink="timeout",
+                            creation_ts=_ts_us(c), lastevent_ts=_ts_us(l),
+                            nevents=nv, map_json=mj,
+                        ))
+                    state.remove()
+                else:
+                    init = (c, l, nv, _WALL_INF, _WALL_INF)
+                    init_map = json.loads(mj) if mj else {}
+                    carried_cap = wall_cap
+            else:
+                init = (
+                    c, l, nv,
+                    eto if eto is not None else timeout_s,
+                    ein if ein is not None else inactivity_s,
+                )
+                init_map = json.loads(mj) if mj else {}
 
         # Spark gives NO ordering guarantee across the Arrow chunks of one
         # key's group (a task whose micro-batch exceeds
@@ -340,7 +384,21 @@ def _make_stateful_fn(cfg: PipelineConfig):
         whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
         nrows = len(whole)
 
-        code_ran, res, sub_idx = scan_chunk(whole, rule_attrs, init, timeout_s, inactivity_s)
+        if proc_mode:
+            # event time never expires maps here: keep only timeout=0
+            # instant evictions (clock-independent), drop >0 overrides
+            # (wall-deadline overrides are event-mode features — doc'd)
+            whole["_custom_timeout"] = whole["_custom_timeout"].where(
+                whole["_custom_timeout"] == 0
+            )
+            whole["_custom_inactivity"] = np.nan
+            code_ran, res, sub_idx = scan_chunk(
+                whole, rule_attrs, init, _WALL_INF, _WALL_INF
+            )
+        else:
+            code_ran, res, sub_idx = scan_chunk(
+                whole, rule_attrs, init, timeout_s, inactivity_s
+            )
         if sub_idx is None:
             sess_full = res.sess_id
         else:
@@ -420,14 +478,28 @@ def _make_stateful_fn(cfg: PipelineConfig):
 
         if res.final is not None:
             creation, last, nev, eff_to, eff_in = res.final
-            state.update((
-                creation, last, int(nev),
-                json.dumps(sess_maps[n_sess - 1], default=str),
-                eff_to, eff_in,
-            ))
-            state.setTimeoutTimestamp(
-                _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
-            )
+            mj_out = json.dumps(sess_maps[n_sess - 1], default=str)
+            if proc_mode:
+                # the open session keeps its creation-time age cap; a map
+                # created THIS batch gets now + timeout (wall clock)
+                cap = (
+                    carried_cap
+                    if carried_cap is not None and n_sess == 1
+                    else now + timeout_s
+                )
+                state.update((
+                    creation, last, int(nev), mj_out, None, None, cap, now,
+                ))
+                state.setTimeoutDuration(
+                    max(int(min(inactivity_s, cap - now) * 1000), 1)
+                )
+            else:
+                state.update((
+                    creation, last, int(nev), mj_out, eff_to, eff_in,
+                ))
+                state.setTimeoutTimestamp(
+                    _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
+                )
         elif state.exists:
             state.remove()
         yield pd.DataFrame(out_rows, columns=out_cols)
@@ -453,6 +525,7 @@ def streaming_correlate(
     groks=None,
     watermark: str = "10 minutes",
     shards: int | None = None,
+    time_mode: str = "event",
 ) -> DataFrame:
     """Full-map-lifecycle streaming correlation. Returns one appended row
     per closed map with a ``sink`` column; split to routed sinks with
@@ -463,7 +536,29 @@ def streaming_correlate(
     multiplexing every live task's cell into one state row per shard
     (see :mod:`streaming.shard` for the measured per-key floor this
     removes and the tradeoffs). Identical output rows; a timeout push can
-    land a micro-batch later than per-key mode."""
+    land a micro-batch later than per-key mode.
+
+    ``time_mode``: ``'event'`` (default) expires maps by EVENT time —
+    the deterministic model the batch engine replays and the oracles
+    certify. ``'processing'`` is the reference's DEFAULT clock
+    (``Time.now``, aggregate.rb:487 / the periodic flush at :312): a map
+    expires ``timeout`` WALL seconds after it was created or
+    ``inactivity_timeout`` after its last arrival, regardless of event
+    timestamps — checked on arrival and via
+    ``GroupStateTimeout.ProcessingTimeTimeout`` timers, so a LIVE stream
+    honors it exactly where the batch engine can only model its
+    instantaneous-replay limit. Documented divergences: timings depend
+    on the wall clock (tests assert structure, not latencies);
+    ``map_meta.timeout = 0`` instant eviction still fires, but >0
+    per-map overrides are event-mode features and are ignored; not
+    combinable with ``shards``."""
+    if time_mode not in ("event", "processing"):
+        raise ValueError(f"time_mode must be 'event' or 'processing', got {time_mode!r}")
+    if time_mode == "processing" and shards:
+        raise ValueError(
+            "time_mode='processing' supports per-key state only (shards "
+            "multiplex cells under event-time watermark eviction)"
+        )
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
     value_cols = [
@@ -480,9 +575,14 @@ def streaming_correlate(
     # which emits nothing and keeps no state. (A filter predicate alone
     # can't protect the watermark: Catalyst splits conjunctions and
     # pushes the non-ts conjuncts below the EventTimeWatermark node.)
+    # processing mode needs no event-time watermark (timers are wall
+    # clock; late events are a non-concept under the real-time model)
+    wm = (
+        classified if time_mode == "processing"
+        else classified.withWatermark("ts", watermark)
+    )
     part = (
-        classified.withWatermark("ts", watermark)
-        .where(
+        wm.where(
             (F.col("_task_id").isNotNull() & F.col("_rule_id").isNotNull())
             | (F.col("conv_id") == HEARTBEAT_CONV)
         )
@@ -509,6 +609,14 @@ def streaming_correlate(
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout,
             )
+        )
+    if time_mode == "processing":
+        return part.groupBy("_task_id").applyInPandasWithState(
+            _make_stateful_fn(cfg, time_mode="processing"),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=PROC_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     return part.groupBy("_task_id").applyInPandasWithState(
         _make_stateful_fn(cfg),
@@ -613,6 +721,7 @@ def streaming_passthrough(
     groks=None,
     watermark: str = "10 minutes",
     shards: int | None = None,
+    time_mode: str = "event",
 ) -> DataFrame:
     """O19 + U3 over a stream — the streaming parity of the batch
     ``passthrough_stream``: every non-cancelled event continues
@@ -646,7 +755,18 @@ def streaming_passthrough(
     state by ``hash(task_id) % shards`` and amortize it (identical
     output; see :mod:`streaming.shard`; measured at 613k tasks / 3M
     turns: 20.9k → 59.6k turns/s with shards=512).
+
+    ``time_mode='processing'``: wall-clock state expiry (the reference's
+    default clock) — see :func:`streaming_correlate` for semantics and
+    documented divergences; per-key tier only.
     """
+    if time_mode not in ("event", "processing"):
+        raise ValueError(f"time_mode must be 'event' or 'processing', got {time_mode!r}")
+    if time_mode == "processing" and shards:
+        raise ValueError(
+            "time_mode='processing' supports per-key state only (shards "
+            "multiplex cells under event-time watermark eviction)"
+        )
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
     gated_relevant = [
@@ -677,9 +797,12 @@ def streaming_passthrough(
         .withColumn("tags", F.col("parse_tags"))
         .select(*out_cols, "tags")
     )
+    wm = (
+        classified if time_mode == "processing"
+        else classified.withWatermark("ts", watermark)
+    )
     part = (
-        classified.withWatermark("ts", watermark)
-        .where(participates)
+        wm.where(participates)
         .select(*classified.columns, *req_cols)
     )
     if shards:
@@ -702,18 +825,23 @@ def streaming_passthrough(
             )
         )
         return walked.unionByName(stateless)
-    fn = _make_passthrough_fn(cfg, out_cols)
+    fn = _make_passthrough_fn(cfg, out_cols, time_mode=time_mode)
+    proc = time_mode == "processing"
     walked = part.groupBy("_task_id").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=PROC_STATE_SCHEMA if proc else STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if proc else GroupStateTimeout.EventTimeTimeout
+        ),
     )
     return walked.unionByName(stateless)
 
 
-def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
+def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str],
+                         time_mode: str = "event"):
     """Per-key walk for :func:`streaming_passthrough`'s gated tier: the
     same state transitions as :func:`_make_stateful_fn` (the reference
     filter hot path), but the OUTPUT is the input rows themselves —
@@ -747,6 +875,7 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
     cancel_map = {r: a["cancel"] for r, a in rule_attrs.items()}
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    proc_mode = time_mode == "processing"
     n_out = len(out_cols) + 1
     _EXC = ["_aggregateexception"]
     _EMPTY: list = []
@@ -756,14 +885,25 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
             state.remove()
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
             return
+        now = state.getCurrentProcessingTimeMs() / 1000.0 if proc_mode else 0.0
         init = None
+        carried_cap = None
         if state.exists:
-            (c, l, n, _mj, eto, ein) = state.get
-            init = (
-                c, l, n,
-                eto if eto is not None else timeout_s,
-                ein if ein is not None else inactivity_s,
-            )
+            sv = state.get
+            c, l, n, _mj, eto, ein = sv[:6]
+            if proc_mode:
+                wall_cap, wall_last = sv[6], sv[7]
+                if now >= wall_cap or now - wall_last >= inactivity_s:
+                    state.remove()     # wall expiry on arrival: state only
+                else:
+                    init = (c, l, n, _WALL_INF, _WALL_INF)
+                    carried_cap = wall_cap
+            else:
+                init = (
+                    c, l, n,
+                    eto if eto is not None else timeout_s,
+                    ein if ein is not None else inactivity_s,
+                )
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
@@ -775,7 +915,18 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
         whole = whole.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
         nrows = len(whole)
 
-        code_ran, res, _sub = scan_chunk(whole, rule_attrs, init, timeout_s, inactivity_s)
+        if proc_mode:
+            whole["_custom_timeout"] = whole["_custom_timeout"].where(
+                whole["_custom_timeout"] == 0
+            )
+            whole["_custom_inactivity"] = np.nan
+            code_ran, res, _sub = scan_chunk(
+                whole, rule_attrs, init, _WALL_INF, _WALL_INF
+            )
+        else:
+            code_ran, res, _sub = scan_chunk(
+                whole, rule_attrs, init, timeout_s, inactivity_s
+            )
         rid_np = whole["_rule_id"].to_numpy()
         cancel_arr = (
             whole["_rule_id"].map(cancel_map).fillna(False).to_numpy(dtype=bool)
@@ -797,10 +948,22 @@ def _make_passthrough_fn(cfg: PipelineConfig, out_cols: list[str]):
 
         if res.final is not None:
             creation, last, nev, eff_to, eff_in = res.final
-            state.update((creation, last, int(nev), "{}", eff_to, eff_in))
-            state.setTimeoutTimestamp(
-                _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
-            )
+            if proc_mode:
+                n_sess = len(res.sessions)
+                cap = (
+                    carried_cap
+                    if carried_cap is not None and n_sess == 1
+                    else now + timeout_s
+                )
+                state.update((creation, last, int(nev), "{}", None, None, cap, now))
+                state.setTimeoutDuration(
+                    max(int(min(inactivity_s, cap - now) * 1000), 1)
+                )
+            else:
+                state.update((creation, last, int(nev), "{}", eff_to, eff_in))
+                state.setTimeoutTimestamp(
+                    _clamped_expiry_ms(min(creation + eff_to, last + eff_in), state)
+                )
         elif state.exists:
             state.remove()
 

@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from logstash_filter_aggregate_spark.operators import dedup
 from logstash_filter_aggregate_spark.operators.incremental import (
+    ConcurrentWriterError,
+    incremental_embedding_candidates,
     incremental_exact_dedup,
     incremental_minhash_candidates,
 )
@@ -185,3 +187,161 @@ def test_incremental_minhash_truncation_disclosed(spark, tmp_path):
     vs = out.where("source = 'store'").collect()
     assert 0 < len(vs) <= 8
     assert all(r.truncated for r in vs)
+
+
+# --- writer lease (single-writer contract) ---
+
+def test_writer_lease_blocks_concurrent_batch(spark, tmp_path):
+    # a fresh lease file (another writer mid-flight) must fail fast, not
+    # silently race the store (append double-insert hazard)
+    import os
+
+    df = _corpus(spark, n=8)
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    with open(f"{store}/_writer_lease", "w") as f:
+        f.write("someone-else\n")
+    with pytest.raises(ConcurrentWriterError):
+        incremental_exact_dedup(df, store, batch_id=0)
+    with pytest.raises(ConcurrentWriterError):
+        incremental_minhash_candidates(df, store, batch_id=0)
+    with pytest.raises(ConcurrentWriterError):
+        incremental_embedding_candidates(
+            _vecs(spark, 4, dim=4), store, num_planes=4, dim=4, batch_id=0
+        )
+
+
+def test_writer_lease_released_and_stale_reclaimed(spark, tmp_path):
+    import os
+    import time
+
+    df = _corpus(spark, n=8)
+    store = str(tmp_path / "store")
+    incremental_exact_dedup(df, store, batch_id=0)
+    # lease released after a successful batch
+    assert not os.path.exists(f"{store}/_writer_lease")
+    # a stale lease (crashed writer) is reclaimed, then re-held + released
+    with open(f"{store}/_writer_lease", "w") as f:
+        f.write("crashed\n")
+    old = time.time() - 7200
+    os.utime(f"{store}/_writer_lease", (old, old))
+    out = incremental_exact_dedup(
+        df.select((F.col("doc_id") + 50).alias("doc_id"), "text"),
+        store, batch_id=1,
+    )
+    out.count()
+    assert not os.path.exists(f"{store}/_writer_lease")
+
+
+# --- incremental embedding near-dup store ---
+
+def _vecs(spark, n=24, dim=8, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_incremental_embedding_planted_recall_and_store_pairs(spark, tmp_path):
+    # exact copies planted in batch 2 must surface as source='store'
+    # pairs at cosine ~1.0 against their batch-1 originals
+    e = _vecs(spark, n=24, dim=8)
+    store = str(tmp_path / "vstore")
+    b1 = e.where("vec_id < 12")
+    planted = b1.where("vec_id < 4").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    b2 = e.where("vec_id >= 12").unionByName(planted)
+    incremental_embedding_candidates(
+        b1, store, num_planes=8, dim=8, min_cosine=0.99, batch_id=0
+    )
+    out = incremental_embedding_candidates(
+        b2, store, num_planes=8, dim=8, min_cosine=0.99, batch_id=1
+    )
+    got = {
+        (r.new_id, r.peer_id)
+        for r in out.where("source = 'store' and cos_sim > 0.9999").collect()
+    }
+    for i in range(4):
+        assert (1000 + i, i) in got, (i, sorted(got))
+
+
+def test_incremental_embedding_equals_full_corpus_relation(spark, tmp_path):
+    # in-batch pairs + cross-batch store pairs == the full-corpus
+    # embedding_near_dup_pairs relation on the union (orientation-
+    # normalized; caps never engage at this size)
+    from logstash_filter_aggregate_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    e = _vecs(spark, n=30, dim=6)
+    # add a few exact dups to give the relation mass
+    dups = e.where("vec_id < 6").select(
+        (F.col("vec_id") + 100).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(dups)
+    store = str(tmp_path / "vstore")
+    b1 = corpus.where("vec_id < 15")
+    b2 = corpus.where("vec_id >= 15")
+    o1 = incremental_embedding_candidates(
+        b1, store, num_planes=6, dim=6, min_cosine=0.98, batch_id=0
+    )
+    o2 = incremental_embedding_candidates(
+        b2, store, num_planes=6, dim=6, min_cosine=0.98, batch_id=1
+    )
+    got = {
+        frozenset((r.new_id, r.peer_id))
+        for r in o1.unionByName(o2).collect()
+    }
+    want = {
+        frozenset((r.id_a, r.id_b))
+        for r in embedding_near_dup_pairs(
+            corpus, num_planes=6, dim=6, min_cosine=0.98
+        ).collect()
+    }
+    assert got == want and len(want) >= 6
+
+
+def test_incremental_embedding_truncation_disclosed(spark, tmp_path):
+    # degenerate store bucket (many identical vectors) trips max_bucket:
+    # bounded candidates, truncated=true — never a silent quadratic join
+    v = [0.5, -0.25, 0.125, 1.0]
+    b1 = spark.createDataFrame(
+        [(i, v) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    b2 = spark.createDataFrame([(100, v)], "vec_id long, embedding array<float>")
+    store = str(tmp_path / "vstore")
+    incremental_embedding_candidates(
+        b1, store, num_planes=4, dim=4, max_bucket=8, batch_id=0
+    )
+    out = incremental_embedding_candidates(
+        b2, store, num_planes=4, dim=4, max_bucket=8, batch_id=1
+    )
+    vs = out.where("source = 'store'").collect()
+    assert 0 < len(vs) <= 8
+    assert all(r.truncated for r in vs)
+
+
+def test_incremental_embedding_store_prunes_partitions(spark, tmp_path):
+    # the signature store reads through a pmod(sig,256) PartitionFilter
+    import os
+
+    e = _vecs(spark, n=24, dim=8)
+    store = str(tmp_path / "vstore")
+    incremental_embedding_candidates(e, store, num_planes=8, dim=8, batch_id=0)
+    subdirs = {d for d in os.listdir(f"{store}/batch_id=0") if d.startswith("_sp=")}
+    assert len(subdirs) > 1
+    val = int(sorted(subdirs)[0].split("=", 1)[1])
+    pruned = (
+        spark.read.option("basePath", store).parquet(store)
+        .where(F.col("_sp").isin(val))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_sp" in plan.split("PartitionFilters", 1)[1][:200]
+    full = spark.read.option("basePath", store).parquet(store)
+    expect = {r.id for r in full.collect() if r._sp == val}
+    assert {r.id for r in pruned.collect()} == expect and expect
