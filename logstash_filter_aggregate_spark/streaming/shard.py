@@ -36,10 +36,14 @@ Tradeoffs for cluster users (why this is opt-in):
   keys. Eviction bounds the live set exactly as per-key timers do.
 - hot-shard parallelism caps at ``shards``, not #tasks — pick
   shards >> cores (hundreds to thousands; cells per shard stay small).
-- per-key mode remains the default and the right choice when tasks per
-  micro-batch are few and long-lived (chat sessions); shard mode wins
-  when task cardinality is high and per-task row counts are small
-  (request/job correlation — the reference's natural workload).
+- per-key mode remains the default; the r6 workload matrix
+  (``tools/streaming_matrix.py``, README table) measured shard mode
+  1.5×/5.9×/9.5× faster at 1k/50k/500k tasks on a fixed 1.5M-row
+  corpus where every batch touches a task cross-section (request/job
+  correlation — the reference's natural workload). Per-key wins when
+  each batch touches a SMALL fraction of a large live set (long-lived
+  sparse sessions): a touched shard rewrites its whole cell set,
+  per-key touches only active keys.
 
 Spec parity: same reference hot path as the per-key fns
 (``aggregate.rb:179-255``); equality is pinned by the shards-parametrized
