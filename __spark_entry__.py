@@ -1104,6 +1104,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).unionByName(guard)
     q["dd_incremental_embedding"] = dd_incremental_embedding
 
+    def dd_stream_ingest(spark, sf):
+        # the streaming ingestion seam end-to-end (streaming/ingest.py):
+        # documents arrive as two mtime-ordered micro-batches through a
+        # file source; foreachBatch exact-dedups each against the
+        # persisted store with both idempotency layers live. The union
+        # of survivors must equal the one-shot relation — the same SQL
+        # oracle as dd_incremental_exact, now through the real streaming
+        # seam.
+        import os
+        import uuid
+
+        from logstash_filter_aggregate_spark.streaming.ingest import (
+            stream_dedup_to_store,
+        )
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        mid = (d.agg(F.max("doc_id")).first()[0] + 1) // 2
+        base = f"/tmp/spark_graft_inc/stream_{uuid.uuid4().hex}"
+        src = f"{base}/src"
+        os.makedirs(src)
+        for k, pred in enumerate((f"doc_id < {mid}", f"doc_id >= {mid}")):
+            tmp = f"{base}/tmp"
+            d.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            shutil.move(os.path.join(tmp, part), os.path.join(src, f"{k:03d}.parquet"))
+        q_ = stream_dedup_to_store(
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            f"{base}/store", f"{base}/out", f"{base}/cp",
+        )
+        q_.awaitTermination(300)
+        out = (
+            spark.read.option("basePath", f"{base}/out").parquet(f"{base}/out")
+            .select("doc_id", "content_hash")
+            .localCheckpoint()        # pin before the throwaway dirs drop
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        return out
+    q["dd_stream_ingest"] = dd_stream_ingest
+
     # --- similarity family
     def sim_brute(spark, sf):
         out = similarity.brute_force_topk(_emb(spark, sf), _query_vec(spark, sf), k=10)
@@ -1803,6 +1843,8 @@ def oracle_sql() -> dict[str, str]:
                  AS content_hash
         FROM documents GROUP BY 2
     """
+    # the streaming ingestion seam shares the incremental-exact relation
+    o["dd_stream_ingest"] = o["dd_incremental_exact"]
     # incremental minhash property oracle: planted identical-text copies
     # in batch 2 must surface as batch-vs-store candidates at est 1.0
     o["dd_incremental_minhash"] = """
