@@ -377,6 +377,15 @@ def incremental_embedding_candidates(
                     "truncated",
                 )
                 .where(F.col("cos_sim") >= min_cosine)
+                # one row per (new, stored) pair even if the store holds
+                # duplicate rows for a doc (the healable window after a
+                # crashed compaction) — same discipline as the minhash
+                # store join
+                .groupBy("new_id", "peer_id")
+                .agg(
+                    F.first("cos_sim").alias("cos_sim"),
+                    F.max("truncated").alias("truncated"),
+                )
                 .withColumn("source", F.lit("store"))
             )
 
@@ -393,3 +402,78 @@ def incremental_embedding_candidates(
         out = out.localCheckpoint()           # pin BEFORE the store mutates
         _store_write(sigged, store_dir, "_sp", batch_id)
         return out
+
+
+def compact_store(
+    spark,
+    store_dir: str,
+    keep_last: int = 1,
+    lease_ttl_s: float = 3600.0,
+) -> dict:
+    """Merge a batch_id-partitioned store's history into one consolidated
+    batch directory.
+
+    Why: a long-running ingestion writes one ``batch_id=N`` directory per
+    micro-batch — after 10k batches the store is 10k × ≤256 prefix dirs
+    and FILE LISTING dominates every batch's pruned read. Compaction
+    rewrites all but the newest ``keep_last`` batches (the only ones a
+    crashed stream can still replay-overwrite; compacting a replayable
+    batch would let its overwrite wipe merged history) into a single
+    directory under a NEGATIVE batch id — an id the streaming engine
+    never emits, so no future replay can exclude-and-overwrite it.
+
+    Crash safety, in write order: (1) the merged copy is written to a
+    ``_``-prefixed temp dir (invisible to Spark readers), (2) renamed
+    into place as ``batch_id=<negative>`` carrying a ``_compact_manifest``
+    naming the merged ids, (3) the merged source dirs are deleted. A
+    crash between (2) and (3) leaves DUPLICATE rows, which the stores
+    tolerate (exact dedup is idempotent on hashes; both near-dup store
+    joins group per (new_id, peer_id)); rerunning ``compact_store``
+    reads the manifest and finishes the deletions (heal). Holds the
+    writer lease throughout — batches and compaction never overlap.
+
+    Returns a summary dict (``compacted``, ``merged``, ``target``).
+    """
+    import json as _json
+    import shutil
+
+    with _writer_lease(store_dir, lease_ttl_s):
+        # heal a previous crashed compaction first: manifests name merged
+        # dirs that may still linger
+        healed = []
+        for d in sorted(os.listdir(store_dir)):
+            man = os.path.join(store_dir, d, "_compact_manifest")
+            if d.startswith("batch_id=") and os.path.exists(man):
+                with open(man) as fh:
+                    for bid in _json.load(fh)["merged"]:
+                        leftover = os.path.join(store_dir, f"batch_id={bid}")
+                        if os.path.exists(leftover):
+                            shutil.rmtree(leftover)
+                            healed.append(bid)
+        bids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(store_dir)
+            if d.startswith("batch_id=")
+        )
+        merge = bids[: len(bids) - keep_last] if keep_last else bids
+        if len(merge) < 2:
+            return {"compacted": False, "healed": healed, "merged": [],
+                    "batches": len(bids)}
+        target = min(-1, min(merge) - 1)
+        df = spark.read.option("basePath", store_dir).parquet(store_dir)
+        part_col = next(c for c in ("_hp", "_bp", "_sp") if c in df.columns)
+        tmp = os.path.join(store_dir, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.where(F.col("batch_id").isin([int(b) for b in merge]))
+            .drop("batch_id")
+            .repartition(part_col)
+            .write.mode("overwrite").partitionBy(part_col).parquet(tmp)
+        )
+        with open(os.path.join(tmp, "_compact_manifest"), "w") as fh:
+            _json.dump({"merged": [int(b) for b in merge]}, fh)
+        os.rename(tmp, os.path.join(store_dir, f"batch_id={target}"))
+        for b in merge:
+            shutil.rmtree(os.path.join(store_dir, f"batch_id={b}"))
+        return {"compacted": True, "healed": healed,
+                "merged": [int(b) for b in merge], "target": target}

@@ -345,3 +345,122 @@ def test_incremental_embedding_store_prunes_partitions(spark, tmp_path):
     full = spark.read.option("basePath", store).parquet(store)
     expect = {r.id for r in full.collect() if r._sp == val}
     assert {r.id for r in pruned.collect()} == expect and expect
+
+
+# --- store compaction ---
+
+def test_compact_store_preserves_dedup_and_pruning(spark, tmp_path):
+    import os
+
+    from logstash_filter_aggregate_spark.operators.incremental import compact_store
+
+    df = _corpus(spark)
+    store = str(tmp_path / "store")
+    for b, (lo, hi) in enumerate([(0, 15), (15, 30), (30, 45)]):
+        incremental_exact_dedup(
+            df.where(f"doc_id >= {lo} and doc_id < {hi}"), store, batch_id=b
+        )
+    n_before = spark.read.option("basePath", store).parquet(store).count()
+    res = compact_store(spark, store, keep_last=1)
+    assert res["compacted"] and res["merged"] == [0, 1] and res["target"] == -1
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    assert dirs == ["batch_id=-1", "batch_id=2"]
+    # same rows, still partition-pruned reads
+    post = spark.read.option("basePath", store).parquet(store)
+    assert post.count() == n_before
+    # a later batch still rejects duplicates of EVERY earlier batch
+    replay = df.where("doc_id >= 45").unionByName(
+        df.where("doc_id < 3").select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    )
+    out = incremental_exact_dedup(replay, store, batch_id=3)
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert all(i < 500 for i in ids), ids   # re-sent batch-0 contents rejected
+    full = sorted(r.canonical_id for r in dedup.exact_dedup(df).collect())
+    # compaction is invisible to semantics: all-batch survivors == one-shot
+    got = sorted(
+        set(
+            r.canonical_id
+            for r in dedup.exact_dedup(df.where("doc_id < 45")).collect()
+        )
+        | set(ids)
+    )
+    assert got == full
+
+
+def test_compact_store_crash_heal_and_duplicate_tolerance(spark, tmp_path):
+    import os
+    import shutil
+
+    from logstash_filter_aggregate_spark.operators.incremental import compact_store
+
+    df = _corpus(spark, n=30)
+    store = str(tmp_path / "sigstore")
+    b1 = df.where("doc_id < 15")
+    incremental_minhash_candidates(b1, store, k=3, num_hashes=16, bands=16, batch_id=0)
+    incremental_minhash_candidates(
+        df.where("doc_id >= 15 and doc_id < 20"), store,
+        k=3, num_hashes=16, bands=16, batch_id=1,
+    )
+    incremental_minhash_candidates(
+        df.where("doc_id >= 20 and doc_id < 25"), store,
+        k=3, num_hashes=16, bands=16, batch_id=2,
+    )
+    stash = str(tmp_path / "stash")
+    shutil.copytree(f"{store}/batch_id=0", stash)
+    res = compact_store(spark, store, keep_last=1)
+    assert res["compacted"] and res["merged"] == [0, 1]
+    # simulate the crash window: merged source dir resurfaces after the
+    # manifest-carrying target landed
+    shutil.copytree(stash, f"{store}/batch_id=0")
+    # duplicate rows in the store must NOT duplicate candidate pairs
+    planted = b1.where("doc_id < 3").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    out = incremental_minhash_candidates(
+        df.where("doc_id >= 25").unionByName(planted), store,
+        k=3, num_hashes=16, bands=16, batch_id=2,
+    )
+    pairs = [
+        (r.new_id, r.peer_id)
+        for r in out.where("source = 'store' and est_jaccard = 1.0").collect()
+    ]
+    assert len(pairs) == len(set(pairs))
+    for i in range(3):
+        assert (1000 + i, i) in pairs
+    # rerun heals: the leftover merged dir is deleted before anything else
+    res2 = compact_store(spark, store, keep_last=1)
+    assert 0 in res2["healed"]
+    assert not os.path.exists(f"{store}/batch_id=0")
+
+
+def test_compact_embedding_store_recall_after_compaction(spark, tmp_path):
+    from logstash_filter_aggregate_spark.operators.incremental import compact_store
+
+    e = _vecs(spark, n=24, dim=8)
+    store = str(tmp_path / "vstore")
+    incremental_embedding_candidates(
+        e.where("vec_id < 8"), store, num_planes=8, dim=8, batch_id=0
+    )
+    incremental_embedding_candidates(
+        e.where("vec_id >= 8 and vec_id < 12"), store,
+        num_planes=8, dim=8, batch_id=1,
+    )
+    incremental_embedding_candidates(
+        e.where("vec_id >= 12 and vec_id < 16"), store,
+        num_planes=8, dim=8, batch_id=2,
+    )
+    res = compact_store(spark, store, keep_last=1)
+    assert res["compacted"] and res["merged"] == [0, 1]
+    planted = e.where("vec_id < 4").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    out = incremental_embedding_candidates(
+        e.where("vec_id >= 16").unionByName(planted), store,
+        num_planes=8, dim=8, min_cosine=0.99, batch_id=2,
+    )
+    got = {
+        (r.new_id, r.peer_id)
+        for r in out.where("source = 'store' and cos_sim > 0.9999").collect()
+    }
+    for i in range(4):
+        assert (1000 + i, i) in got, (i, sorted(got))
