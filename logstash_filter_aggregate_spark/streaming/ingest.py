@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from logstash_filter_aggregate_spark.operators.incremental import (
+    compact_store,
     incremental_embedding_candidates,
     incremental_exact_dedup,
     incremental_minhash_candidates,
@@ -52,12 +53,20 @@ def stream_dedup_to_store(
     checkpoint: str,
     mode: str = "exact",
     available_now: bool = True,
+    compact_every: int | None = None,
     **op_kwargs,
 ):
     """Start the ingestion query: each micro-batch runs the ``mode``
     incremental operator against ``store_dir`` and writes its result
     (exact: surviving rows; minhash/embedding: candidate pairs) to
     ``out_dir/batch_id=N``. Returns the started StreamingQuery.
+
+    ``compact_every=N`` folds store maintenance into the pipeline:
+    after every Nth micro-batch, :func:`~...incremental.compact_store`
+    merges the accumulated batch dirs (keeping the newest, which a
+    replay can still overwrite) so pruned-read listing cost stays flat
+    on long runs. It runs between batches, where the writer lease is
+    free by construction.
 
     ``op_kwargs`` pass through to the operator (``id_col``,
     ``text_col``/``vec_col``, banding/plane parameters, ``max_bucket``,
@@ -66,6 +75,8 @@ def stream_dedup_to_store(
     """
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {sorted(_MODES)}, got {mode!r}")
+    if compact_every is not None and compact_every < 2:
+        raise ValueError("compact_every must be >= 2 (or None)")
     op = _MODES[mode]
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -73,6 +84,8 @@ def stream_dedup_to_store(
             return
         result = op(batch_df, store_dir, batch_id=batch_id, **op_kwargs)
         result.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_store(batch_df.sparkSession, store_dir, keep_last=1)
 
     writer = (
         stream_df.writeStream.foreachBatch(_process)

@@ -84,3 +84,28 @@ def test_stream_ingest_mode_validation(spark, tmp_path):
             str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c"),
             mode="fuzzy",
         )
+
+
+def test_stream_ingest_with_inline_compaction(spark, tmp_path):
+    # compact_every folds store maintenance into the stream: semantics
+    # identical, batch dirs consolidated as the run proceeds
+    import os
+
+    df = _corpus(spark)
+    src = _stage_files(
+        spark, df, [(0, 12), (12, 24), (24, 36), (36, 48), (48, 60)],
+        str(tmp_path / "src"),
+    )
+    store, out, cp = (str(tmp_path / d) for d in ("store", "out", "cp"))
+    q = stream_dedup_to_store(
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+        store, out, cp, compact_every=2,
+    )
+    q.awaitTermination(180)
+    full = sorted(r.canonical_id for r in dedup.exact_dedup(df).collect())
+    got = spark.read.option("basePath", out).parquet(out)
+    assert sorted(r.doc_id for r in got.select("doc_id").collect()) == full
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("batch_id="))
+    # 5 batches with compactions at 2 and 4 leave fewer dirs than batches
+    assert len(dirs) < 5 and any(d.startswith("batch_id=-") for d in dirs)

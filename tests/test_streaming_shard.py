@@ -278,3 +278,50 @@ def test_shard_passthrough_fuzz_carried_state(spark, tmp_path):
             want = ("_aggregateexception",) if tagged else ()
             assert got.get((tid, idx)) == want, (tid, idx, got.get((tid, idx)), want)
     assert len(got) == n_exp
+
+
+def test_cell_codec_roundtrip_fuzz():
+    # property fuzz for the binary cell-set codec (no Spark): arbitrary
+    # task ids (unicode), finite clocks, optional maps/overrides must
+    # survive encode->decode exactly; json-codec blobs decode too
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logstash_filter_aggregate_spark.streaming.shard import (
+        _decode_cells,
+        _encode_cells,
+    )
+
+    finite = st.floats(allow_nan=False, allow_infinity=False,
+                       min_value=-1e15, max_value=1e15)
+    payload = st.dictionaries(
+        st.text(min_size=1, max_size=8),
+        st.one_of(st.integers(-2**40, 2**40), finite,
+                  st.text(max_size=12),
+                  st.lists(st.integers(-100, 100), max_size=4)),
+        max_size=4,
+    )
+    cell = st.tuples(
+        finite, finite, st.integers(0, 2**40),
+        st.one_of(st.none(), payload),
+        st.one_of(st.none(), st.floats(min_value=1e-3, max_value=1e9)),
+        st.one_of(st.none(), st.floats(min_value=1e-3, max_value=1e9)),
+    ).map(list)
+    cells_st = st.dictionaries(st.text(min_size=1, max_size=64), cell, max_size=32)
+
+    @settings(max_examples=300, deadline=None)
+    @given(cells_st)
+    def check(cells):
+        # empty maps normalize to None on encode (c[_M] falsy) — mirror
+        # that in the expectation
+        expect = {
+            t: [c[0], c[1], c[2], (c[3] or None), c[4], c[5]]
+            for t, c in cells.items()
+        }
+        assert _decode_cells(_encode_cells(cells)) == expect
+        # json-codec blobs (the A/B switch) decode through the same entry
+        assert _decode_cells(_json.dumps(cells, default=str).encode()) == cells
+
+    check()
