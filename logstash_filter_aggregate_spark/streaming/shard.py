@@ -84,8 +84,12 @@ from logstash_filter_aggregate_spark.streaming.walk import (
 
 SHARD_STATE_SCHEMA = T.StructType([T.StructField("cells", T.BinaryType())])
 
-# cell layout: [creation_s, last_s, nevents, map_dict|None, eff_to|None, eff_in|None]
-_C, _L, _N, _M, _TO, _IN = range(6)
+# cell layout: [creation_s, last_s, nevents, map_dict|None, eff_to|None,
+#               eff_in|None, wall_cap|None, wall_last|None]
+# wall_cap / wall_last carry processing-time deadlines (time_mode=
+# 'processing': absolute age cap set at map creation, wall time of the
+# last arrival); None in event mode.
+_C, _L, _N, _M, _TO, _IN, _WC, _WL = range(8)
 
 # Cell-set codec. A batch that touches a shard round-trips the shard's
 # ENTIRE live cell set through this codec, so it sits on the per-batch
@@ -97,14 +101,16 @@ _C, _L, _N, _M, _TO, _IN = range(6)
 # r5 whole-set-JSON behavior for A/B measurement; decode sniffs the
 # magic so either codec can read a running query's state.
 _CODEC = os.environ.get("SPARK_GRAFT_SHARD_CODEC", "binary")
-_MAGIC = b"SGC1"
+_MAGIC = b"SGC2"        # 7-wide numeric block (wall fields appended)
+_MAGIC_V1 = b"SGC1"     # r6-interim 5-wide layout, still decodable
+_NUMW = 7
 
 
 def _encode_cells(cells: dict, codec: str = "binary") -> bytes:
     if codec == "json":
         return json.dumps(cells, default=str).encode("utf-8")
     n = len(cells)
-    num = np.empty((n, 5), dtype=np.float64)
+    num = np.empty((n, _NUMW), dtype=np.float64)
     tblobs: list[bytes] = []
     maps: dict[int, dict] = {}
     for i, (t, c) in enumerate(cells.items()):
@@ -114,6 +120,8 @@ def _encode_cells(cells: dict, codec: str = "binary") -> bytes:
         num[i, 2] = c[_N]
         num[i, 3] = np.nan if c[_TO] is None else c[_TO]
         num[i, 4] = np.nan if c[_IN] is None else c[_IN]
+        num[i, 5] = np.nan if c[_WC] is None else c[_WC]
+        num[i, 6] = np.nan if c[_WL] is None else c[_WL]
         if c[_M]:
             maps[i] = c[_M]
     lens = np.fromiter((len(b) for b in tblobs), dtype=np.int32, count=n)
@@ -126,15 +134,24 @@ def _encode_cells(cells: dict, codec: str = "binary") -> bytes:
 
 def _decode_cells(raw) -> dict:
     raw = bytes(raw)
-    if raw[:4] != _MAGIC:       # json-codec state (A/B runs)
-        return json.loads(raw.decode("utf-8"))
+    magic = raw[:4]
+    if magic == _MAGIC:
+        numw = _NUMW
+    elif magic == _MAGIC_V1:
+        numw = 5
+    else:                       # json-codec state (A/B runs)
+        cells = json.loads(raw.decode("utf-8"))
+        for c in cells.values():
+            while len(c) < 8:
+                c.append(None)
+        return cells
     n, mlen = struct.unpack_from("<QQ", raw, 4)
     off = 20
     lens = np.frombuffer(raw, dtype=np.int32, count=n, offset=off)
     off += 4 * n
-    num = np.frombuffer(raw, dtype=np.float64, count=5 * n, offset=off)
-    num = num.reshape(n, 5)
-    off += 40 * n
+    num = np.frombuffer(raw, dtype=np.float64, count=numw * n, offset=off)
+    num = num.reshape(n, numw)
+    off += 8 * numw * n
     tasks: list[str] = []
     for ln in lens.tolist():
         tasks.append(raw[off:off + ln].decode("utf-8"))
@@ -145,11 +162,16 @@ def _decode_cells(raw) -> dict:
     c0 = num[:, 0].tolist()
     l0 = num[:, 1].tolist()
     nev = num[:, 2].astype(np.int64).tolist()
-    to = [None if v != v else v for v in num[:, 3].tolist()]   # NaN -> None
-    in_ = [None if v != v else v for v in num[:, 4].tolist()]
+
+    def opt(col):
+        if col >= numw:
+            return [None] * n
+        return [None if v != v else v for v in num[:, col].tolist()]  # NaN->None
+
+    to, in_, wc, wl = opt(3), opt(4), opt(5), opt(6)
     mg = maps.get
     return {
-        tasks[i]: [c0[i], l0[i], nev[i], mg(i), to[i], in_[i]]
+        tasks[i]: [c0[i], l0[i], nev[i], mg(i), to[i], in_[i], wc[i], wl[i]]
         for i in range(n)
     }
 
@@ -197,6 +219,38 @@ def _save(state: GroupState, cells: dict, timeout_s: float, inactivity_s: float,
         state.remove()
 
 
+def _wall_remaining_s(cell, now_s: float, inactivity_s: float) -> float:
+    wc = cell[_WC] if cell[_WC] is not None else float("inf")
+    wl = cell[_WL] if cell[_WL] is not None else now_s
+    return min(wc - now_s, wl + inactivity_s - now_s)
+
+
+def _evict_expired_wall(cells: dict, now_s: float, inactivity_s: float,
+                        skip: set) -> list[tuple]:
+    """Processing-time analog of :func:`_evict_expired`: a cell whose age
+    cap or inactivity window lapsed by the WALL clock evicts (the same
+    condition the per-key proc-mode fn checks on arrival/timer)."""
+    if not cells:
+        return []
+    out = []
+    for task in list(cells):
+        if task in skip:
+            continue
+        if _wall_remaining_s(cells[task], now_s, inactivity_s) <= 0:
+            out.append((task, cells.pop(task)))
+    return out
+
+
+def _save_wall(state: GroupState, cells: dict, now_s: float,
+               inactivity_s: float, codec: str) -> None:
+    if cells:
+        state.update((_encode_cells(cells, codec),))
+        rem = min(_wall_remaining_s(c, now_s, inactivity_s) for c in cells.values())
+        state.setTimeoutDuration(max(int(rem * 1000), 1))
+    elif state.exists:
+        state.remove()
+
+
 def _task_slices(tid: np.ndarray):
     """(lo, hi) boundaries of each task's run in the (task, ts)-sorted chunk."""
     starts = np.flatnonzero(np.r_[True, tid[1:] != tid[:-1]])
@@ -226,6 +280,7 @@ def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
     sess_carry: list[int] = []      # carried nevents base per session (emit math)
     sess_init_map: dict[int, dict] = {}   # global sess idx -> carried map
     final_sess_of_task: dict = {}   # task -> global sess idx of its open session
+    task_base: dict = {}            # task -> its first session's global idx
     touched: set = set()
     starts, ends = _task_slices(tid)
     for lo, hi in zip(starts, ends):
@@ -255,6 +310,7 @@ def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
             ct[sel], ci[sel], init, timeout_s, inactivity_s,
         )
         base = len(sessions)
+        task_base[task] = base
         code_ran[sel] = res.code_ran
         lab = res.sess_id.astype(np.int64)
         sess_full[sel] = np.where(lab >= 0, lab + base, -1)
@@ -271,18 +327,57 @@ def _walk_tasks(whole: pd.DataFrame, rule_attrs: dict, cells: dict,
                 creation, last, int(nev), None,
                 eff_to if eff_to != timeout_s else None,
                 eff_in if eff_in != inactivity_s else None,
+                # wall-clock fields ride through untouched; the proc-mode
+                # caller refreshes them per arrival (carried-vs-new cap)
+                cell[_WC] if cell is not None else None,
+                cell[_WL] if cell is not None else None,
             ]
             final_sess_of_task[task] = len(sessions) - 1
         else:
             cells.pop(task, None)
     return (code_ran, sess_full, sessions, sess_nev, sess_carry,
-            sess_init_map, final_sess_of_task, touched)
+            sess_init_map, final_sess_of_task, task_base, touched)
 
 
-def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
+def _mask_proc_overrides(whole: pd.DataFrame) -> None:
+    """Processing mode: event time never expires maps — keep only
+    ``timeout = 0`` instant evictions (clock-independent), drop >0
+    overrides (wall-deadline overrides are event-mode features; same
+    masking as the per-key proc fns)."""
+    whole["_custom_timeout"] = whole["_custom_timeout"].where(
+        whole["_custom_timeout"] == 0
+    )
+    whole["_custom_inactivity"] = np.nan
+
+
+def _refresh_wall_cells(cells: dict, entry: set, final_sess_of_task: dict,
+                        task_base: dict, now_s: float, timeout_s: float) -> None:
+    """Per-arrival wall bookkeeping for open cells: a CARRIED map (the
+    task had a cell at entry and its final open session is its first)
+    keeps its creation-time age cap; a map created this batch gets
+    ``now + timeout``. Every open cell's last-arrival wall time becomes
+    ``now``."""
+    for task, si in final_sess_of_task.items():
+        c = cells[task]
+        carried = task in entry and si == task_base[task] and c[_WC] is not None
+        if not carried:
+            c[_WC] = now_s + timeout_s
+        c[_WL] = now_s
+
+
+_WALL_INF = float("inf")
+
+
+def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str],
+                              time_mode: str = "event"):
     """Shard-keyed variant of :func:`stream._make_passthrough_fn`: same
     keep/tags contract (O19 + U3, ``aggregate.rb:251-254``), per-task
-    state cells multiplexed into one row per shard."""
+    state cells multiplexed into one row per shard.
+
+    ``time_mode='processing'``: cells expire by the WALL clock (age cap
+    from map creation / inactivity from last arrival), checked on every
+    shard invocation plus one processing-time timer per shard at the min
+    remaining cell deadline — the shard analog of the per-key proc mode."""
     rule_attrs = _build_rule_attrs(cfg)
     req_cols_by_rule = {
         r.rule_id: [
@@ -293,6 +388,7 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
     cancel_map = {r.rule_id: bool(r.cancel) for r in cfg.rules}
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    proc_mode = time_mode == "processing"
     codec = _CODEC        # captured at build time: pickled with the fn,
     # so an A/B can flip shard._CODEC between query builds in one session
     _EXC = ["_aggregateexception"]
@@ -300,10 +396,15 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         cells = _load_cells(state)
+        now = state.getCurrentProcessingTimeMs() / 1000.0 if proc_mode else 0.0
         if state.hasTimedOut:
-            _evict_expired(cells, state.getCurrentWatermarkMs(),
-                           timeout_s, inactivity_s, set())
-            _save(state, cells, timeout_s, inactivity_s, codec)
+            if proc_mode:
+                _evict_expired_wall(cells, now, inactivity_s, set())
+                _save_wall(state, cells, now, inactivity_s, codec)
+            else:
+                _evict_expired(cells, state.getCurrentWatermarkMs(),
+                               timeout_s, inactivity_s, set())
+                _save(state, cells, timeout_s, inactivity_s, codec)
             yield pd.DataFrame(columns=[*out_cols, "tags"]).iloc[0:0]
             return
         chunks = [p for p in pdfs if len(p)]
@@ -316,8 +417,20 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
         )
         nrows = len(whole)
 
-        (code_ran, _sess_full, _sessions, _nev, _carry, _imap, _fin,
-         touched) = _walk_tasks(whole, rule_attrs, cells, timeout_s, inactivity_s)
+        if proc_mode:
+            # wall expiry on arrival BEFORE guards (state reclaim only —
+            # the passthrough emits no timeout rows)
+            _evict_expired_wall(cells, now, inactivity_s, set())
+            _mask_proc_overrides(whole)
+            entry = set(cells)
+            (code_ran, _sess_full, _sessions, _nev, _carry, _imap, fin,
+             task_base, _touched) = _walk_tasks(
+                whole, rule_attrs, cells, _WALL_INF, _WALL_INF)
+            _refresh_wall_cells(cells, entry, fin, task_base, now, timeout_s)
+        else:
+            (code_ran, _sess_full, _sessions, _nev, _carry, _imap, _fin,
+             _tb, touched) = _walk_tasks(
+                whole, rule_attrs, cells, timeout_s, inactivity_s)
 
         rid_np = whole["_rule_id"].to_numpy()
         cancel_arr = (
@@ -338,9 +451,12 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
         keep = ~(code_ran & cancel_arr)        # U3: consumed where code ran
         tag_exc = code_ran & exc               # O19: tagged where code ran
 
-        _evict_expired(cells, state.getCurrentWatermarkMs(),
-                       timeout_s, inactivity_s, touched)
-        _save(state, cells, timeout_s, inactivity_s, codec)
+        if proc_mode:
+            _save_wall(state, cells, now, inactivity_s, codec)
+        else:
+            _evict_expired(cells, state.getCurrentWatermarkMs(),
+                           timeout_s, inactivity_s, touched)
+            _save(state, cells, timeout_s, inactivity_s, codec)
 
         kidx = np.flatnonzero(keep)
         out = whole.iloc[kidx][out_cols].copy()
@@ -361,10 +477,14 @@ def make_passthrough_shard_fn(cfg: PipelineConfig, out_cols: list[str]):
     return fn
 
 
-def make_correlate_shard_fn(cfg: PipelineConfig):
+def make_correlate_shard_fn(cfg: PipelineConfig, time_mode: str = "event"):
     """Shard-keyed variant of :func:`stream._make_stateful_fn`: the full
     map lifecycle (aggregation dictionaries, closes, timeout pushes, O18
-    emit rows) with per-task cells multiplexed into one row per shard."""
+    emit rows) with per-task cells multiplexed into one row per shard.
+
+    ``time_mode='processing'``: wall-clock expiry (see
+    :func:`make_passthrough_shard_fn`), with evicted cells pushed as
+    timeout rows where the config asks for it."""
     rule_attrs = _build_rule_attrs(cfg)
     agg_specs = _build_agg_specs(cfg)
     emit_rules = {
@@ -373,6 +493,7 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
     }
     timeout_s = float(cfg.timeout)
     inactivity_s = float(cfg.effective_inactivity_timeout)
+    proc_mode = time_mode == "processing"
     codec = _CODEC        # captured at build time (see passthrough note)
     push = cfg.push_map_as_event_on_timeout
     out_cols = [f.name for f in OUTPUT_SCHEMA.fields]
@@ -388,12 +509,19 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         out_rows: list[dict] = []
         cells = _load_cells(state)
+        now = state.getCurrentProcessingTimeMs() / 1000.0 if proc_mode else 0.0
         if state.hasTimedOut:
-            evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
-                                     timeout_s, inactivity_s, set())
+            if proc_mode:
+                evicted = _evict_expired_wall(cells, now, inactivity_s, set())
+            else:
+                evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
+                                         timeout_s, inactivity_s, set())
             if push:
                 out_rows.extend(_timeout_row(t, c) for t, c in evicted)
-            _save(state, cells, timeout_s, inactivity_s, codec)
+            if proc_mode:
+                _save_wall(state, cells, now, inactivity_s, codec)
+            else:
+                _save(state, cells, timeout_s, inactivity_s, codec)
             yield pd.DataFrame(out_rows, columns=out_cols)
             return
 
@@ -406,10 +534,22 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
             ["_task_id", "ts", "conv_id", "turn_idx"], kind="mergesort"
         )
 
-        (code_ran, sess_full, sessions, sess_nev, sess_carry, sess_init_map,
-         final_sess_of_task, touched) = _walk_tasks(
-            whole, rule_attrs, cells, timeout_s, inactivity_s
-        )
+        if proc_mode:
+            # wall expiry on arrival BEFORE guards, pushing evicted maps
+            evicted = _evict_expired_wall(cells, now, inactivity_s, set())
+            if push:
+                out_rows.extend(_timeout_row(t, c) for t, c in evicted)
+            _mask_proc_overrides(whole)
+            entry = set(cells)
+            (code_ran, sess_full, sessions, sess_nev, sess_carry, sess_init_map,
+             final_sess_of_task, task_base, touched) = _walk_tasks(
+                whole, rule_attrs, cells, _WALL_INF, _WALL_INF
+            )
+        else:
+            (code_ran, sess_full, sessions, sess_nev, sess_carry, sess_init_map,
+             final_sess_of_task, _tb, touched) = _walk_tasks(
+                whole, rule_attrs, cells, timeout_s, inactivity_s
+            )
         n_sess = len(sessions)
         cr_idx = np.flatnonzero(code_ran)
         sess_cr = sess_full[cr_idx]
@@ -482,11 +622,16 @@ def make_correlate_shard_fn(cfg: PipelineConfig):
         for task, si_ in final_sess_of_task.items():
             cells[task][_M] = sess_maps[si_]
 
-        evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
-                                 timeout_s, inactivity_s, touched)
-        if push:
-            out_rows.extend(_timeout_row(t, c) for t, c in evicted)
-        _save(state, cells, timeout_s, inactivity_s, codec)
+        if proc_mode:
+            _refresh_wall_cells(cells, entry, final_sess_of_task, task_base,
+                                now, timeout_s)
+            _save_wall(state, cells, now, inactivity_s, codec)
+        else:
+            evicted = _evict_expired(cells, state.getCurrentWatermarkMs(),
+                                     timeout_s, inactivity_s, touched)
+            if push:
+                out_rows.extend(_timeout_row(t, c) for t, c in evicted)
+            _save(state, cells, timeout_s, inactivity_s, codec)
         yield pd.DataFrame(out_rows, columns=out_cols)
 
     return fn

@@ -550,15 +550,11 @@ def streaming_correlate(
     instantaneous-replay limit. Documented divergences: timings depend
     on the wall clock (tests assert structure, not latencies);
     ``map_meta.timeout = 0`` instant eviction still fires, but >0
-    per-map overrides are event-mode features and are ignored; not
-    combinable with ``shards``."""
+    per-map overrides are event-mode features and are ignored. Composes
+    with ``shards`` (r6): cells expire by the wall clock with one
+    processing-time timer per shard at the min remaining deadline."""
     if time_mode not in ("event", "processing"):
         raise ValueError(f"time_mode must be 'event' or 'processing', got {time_mode!r}")
-    if time_mode == "processing" and shards:
-        raise ValueError(
-            "time_mode='processing' supports per-key state only (shards "
-            "multiplex cells under event-time watermark eviction)"
-        )
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
     value_cols = [
@@ -603,11 +599,15 @@ def streaming_correlate(
             )
             .groupBy("_shard")
             .applyInPandasWithState(
-                make_correlate_shard_fn(cfg),
+                make_correlate_shard_fn(cfg, time_mode=time_mode),
                 outputStructType=OUTPUT_SCHEMA,
                 stateStructType=SHARD_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if time_mode == "processing"
+                    else GroupStateTimeout.EventTimeTimeout
+                ),
             )
         )
     if time_mode == "processing":
@@ -758,15 +758,10 @@ def streaming_passthrough(
 
     ``time_mode='processing'``: wall-clock state expiry (the reference's
     default clock) — see :func:`streaming_correlate` for semantics and
-    documented divergences; per-key tier only.
+    documented divergences; composes with ``shards``.
     """
     if time_mode not in ("event", "processing"):
         raise ValueError(f"time_mode must be 'event' or 'processing', got {time_mode!r}")
-    if time_mode == "processing" and shards:
-        raise ValueError(
-            "time_mode='processing' supports per-key state only (shards "
-            "multiplex cells under event-time watermark eviction)"
-        )
     parsed = parse(stream_df, groks or compile_groks())
     classified = classify(parsed, cfg)
     gated_relevant = [
@@ -817,11 +812,15 @@ def streaming_passthrough(
             )
             .groupBy("_shard")
             .applyInPandasWithState(
-                make_passthrough_shard_fn(cfg, out_cols),
+                make_passthrough_shard_fn(cfg, out_cols, time_mode=time_mode),
                 outputStructType=out_schema,
                 stateStructType=SHARD_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+                timeoutConf=(
+                    GroupStateTimeout.ProcessingTimeTimeout
+                    if time_mode == "processing"
+                    else GroupStateTimeout.EventTimeTimeout
+                ),
             )
         )
         return walked.unionByName(stateless)

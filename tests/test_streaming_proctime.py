@@ -43,7 +43,8 @@ def _start(spark, in_dir, schema, df_fn, name):
     )
 
 
-def test_proc_time_completed_and_wall_timeout(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 16])
+def test_proc_time_completed_and_wall_timeout(spark, tmp_path, shards):
     # one task completes normally; one start-only task must be pushed by
     # the WALL clock. The completed task's events span 2 h of EVENT time
     # with timeout=3 s — in processing mode that must NOT split the map
@@ -60,20 +61,23 @@ def test_proc_time_completed_and_wall_timeout(spark, tmp_path):
     ]
     df = make_transcript(spark, rows)
     _append(df, in_dir)
+    name = f"proc_basic_{shards or 0}"
     q = _start(
         spark, in_dir, df.schema,
-        lambda src: streaming_correlate(src, cfg, time_mode="processing"),
-        "proc_basic",
+        lambda src: streaming_correlate(
+            src, cfg, time_mode="processing", shards=shards
+        ),
+        name,
     )
     try:
         done = _poll(
-            lambda: spark.table("proc_basic").where("sink = 'completed'").collect()
+            lambda: spark.table(name).where("sink = 'completed'").collect()
         )
         assert len(done) == 1 and done[0].task_id == "t_done"
         assert json.loads(done[0].map_json)["sql_duration"] == 5
         assert done[0].nevents == 3       # event-time gap never split the map
         to = _poll(
-            lambda: spark.table("proc_basic").where("sink = 'timeout'").collect()
+            lambda: spark.table(name).where("sink = 'timeout'").collect()
         )
         assert len(to) == 1 and to[0].task_id == "t_hang"
         assert json.loads(to[0].map_json)["sql_duration"] == 2
@@ -82,7 +86,8 @@ def test_proc_time_completed_and_wall_timeout(spark, tmp_path):
         q.stop()
 
 
-def test_proc_time_recreate_after_wall_expiry(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 16])
+def test_proc_time_recreate_after_wall_expiry(spark, tmp_path, shards):
     # a start-only map expires by wall clock; a LATER start for the same
     # task id creates a fresh map that then completes — two independent
     # lifecycles for one task id, separated only by wall time
@@ -90,14 +95,17 @@ def test_proc_time_recreate_after_wall_expiry(spark, tmp_path):
     cfg = example1_config(timeout=2.0, push_map_as_event_on_timeout=True)
     df1 = make_transcript(spark, [("c1", 1, "INFO - t1 - TASK_START - s", 0)])
     _append(df1, in_dir)
+    name = f"proc_recreate_{shards or 0}"
     q = _start(
         spark, in_dir, df1.schema,
-        lambda src: streaming_correlate(src, cfg, time_mode="processing"),
-        "proc_recreate",
+        lambda src: streaming_correlate(
+            src, cfg, time_mode="processing", shards=shards
+        ),
+        name,
     )
     try:
         to = _poll(
-            lambda: spark.table("proc_recreate").where("sink = 'timeout'").collect()
+            lambda: spark.table(name).where("sink = 'timeout'").collect()
         )
         assert len(to) == 1 and to[0].nevents == 1
         # second lifecycle: start + end arriving after the expiry
@@ -107,7 +115,7 @@ def test_proc_time_recreate_after_wall_expiry(spark, tmp_path):
             ("c1", 4, "INFO - t1 - TASK_END - e", 12),
         ]), in_dir)
         done = _poll(
-            lambda: spark.table("proc_recreate").where("sink = 'completed'").collect()
+            lambda: spark.table(name).where("sink = 'completed'").collect()
         )
         assert len(done) == 1 and done[0].task_id == "t1"
         assert json.loads(done[0].map_json)["sql_duration"] == 4
@@ -150,7 +158,8 @@ def test_proc_time_completed_matches_batch_when_nothing_expires(spark, tmp_path)
         q.stop()
 
 
-def test_proc_time_passthrough_guard_decisions(spark, tmp_path):
+@pytest.mark.parametrize("shards", [None, 16])
+def test_proc_time_passthrough_guard_decisions(spark, tmp_path, shards):
     # the gated passthrough's keep/tag decisions don't depend on the
     # clock while nothing expires: processing mode must match the event
     # mode's availableNow replay on the same rows
@@ -191,22 +200,24 @@ def test_proc_time_passthrough_guard_decisions(spark, tmp_path):
     src = spark.readStream.schema(df.schema).parquet(in_dir)
     qe = (
         streaming_passthrough(src, cfg)
-        .writeStream.format("memory").queryName("pt_event")
+        .writeStream.format("memory").queryName(f"pt_event_{shards or 0}")
         .outputMode("append").trigger(availableNow=True).start()
     )
     qe.awaitTermination(120)
-    expect = normalize(spark.table("pt_event").collect())
+    expect = normalize(spark.table(f"pt_event_{shards or 0}").collect())
 
     qp = _start(
         spark, in_dir, df.schema,
-        lambda s: streaming_passthrough(s, cfg, time_mode="processing"),
-        "pt_proc",
+        lambda s: streaming_passthrough(
+            s, cfg, time_mode="processing", shards=shards
+        ),
+        f"pt_proc_{shards or 0}",
     )
     try:
         got_rows = _poll(
             lambda: (
                 lambda rs: rs if len(rs) == len(expect) else None
-            )(spark.table("pt_proc").collect())
+            )(spark.table(f"pt_proc_{shards or 0}").collect())
         )
         assert normalize(got_rows) == expect
         assert len(expect) == 5            # the cancel consumed exactly one
@@ -217,9 +228,5 @@ def test_proc_time_passthrough_guard_decisions(spark, tmp_path):
 def test_proc_time_mode_validation(spark):
     df = make_transcript(spark, [("c1", 1, "INFO - t - TASK_START - s", 0)])
     cfg = example1_config()
-    with pytest.raises(ValueError, match="per-key"):
-        streaming_correlate(df, cfg, shards=16, time_mode="processing")
-    with pytest.raises(ValueError, match="per-key"):
-        streaming_passthrough(df, cfg, shards=16, time_mode="processing")
     with pytest.raises(ValueError, match="time_mode"):
         streaming_correlate(df, cfg, time_mode="wall")

@@ -303,11 +303,12 @@ def test_cell_codec_roundtrip_fuzz():
                   st.lists(st.integers(-100, 100), max_size=4)),
         max_size=4,
     )
+    opt_clock = st.one_of(st.none(), st.floats(min_value=1e-3, max_value=1e9))
     cell = st.tuples(
         finite, finite, st.integers(0, 2**40),
         st.one_of(st.none(), payload),
-        st.one_of(st.none(), st.floats(min_value=1e-3, max_value=1e9)),
-        st.one_of(st.none(), st.floats(min_value=1e-3, max_value=1e9)),
+        opt_clock, opt_clock,
+        opt_clock, opt_clock,       # wall_cap / wall_last (proc mode)
     ).map(list)
     cells_st = st.dictionaries(st.text(min_size=1, max_size=64), cell, max_size=32)
 
@@ -317,11 +318,38 @@ def test_cell_codec_roundtrip_fuzz():
         # empty maps normalize to None on encode (c[_M] falsy) — mirror
         # that in the expectation
         expect = {
-            t: [c[0], c[1], c[2], (c[3] or None), c[4], c[5]]
+            t: [c[0], c[1], c[2], (c[3] or None), *c[4:]]
             for t, c in cells.items()
         }
         assert _decode_cells(_encode_cells(cells)) == expect
         # json-codec blobs (the A/B switch) decode through the same entry
         assert _decode_cells(_json.dumps(cells, default=str).encode()) == cells
+        # r6-interim SGC1 blobs (5-wide numeric block) decode with None
+        # wall fields
+        legacy = {t: c[:6] for t, c in cells.items()}
+        import struct as _struct
+
+        import numpy as _np
+
+        n = len(legacy)
+        num = _np.empty((n, 5), dtype=_np.float64)
+        tblobs = []
+        maps = {}
+        for i, (t, c) in enumerate(legacy.items()):
+            tblobs.append(t.encode())
+            num[i] = [c[0], c[1], c[2],
+                      _np.nan if c[4] is None else c[4],
+                      _np.nan if c[5] is None else c[5]]
+            if c[3]:
+                maps[i] = c[3]
+        lens = _np.fromiter((len(b) for b in tblobs), dtype=_np.int32, count=n)
+        mb = _json.dumps(maps).encode() if maps else b""
+        blob = b"".join((b"SGC1", _struct.pack("<QQ", n, len(mb)),
+                         lens.tobytes(), num.tobytes(), b"".join(tblobs), mb))
+        got = _decode_cells(blob)
+        assert got == {
+            t: [c[0], c[1], c[2], (c[3] or None), c[4], c[5], None, None]
+            for t, c in legacy.items()
+        }
 
     check()
