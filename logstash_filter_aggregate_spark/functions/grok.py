@@ -319,6 +319,174 @@ def _cast(col: Column, dtype: T.DataType) -> Column:
     return col.cast(dtype) if not isinstance(dtype, T.StringType) else col
 
 
+def _group_indices(regex: str) -> tuple[int, dict[str, int]]:
+    """Total capturing-group count and named-group -> 1-based index for a
+    regex, counted exactly as the Java engine numbers them (same scanner
+    as compile_grok: skips escapes, character classes, and (?: (?= (?!
+    (?<= (?<! non-capturing opens)."""
+    named: dict[str, int] = {}
+    idx = 0
+    i, n, in_class = 0, len(regex), False
+    while i < n:
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            m = re.match(r"\?<(\w+)>", regex[i + 1 :])
+            if m:
+                idx += 1
+                named[m.group(1)] = idx
+            elif not regex[i + 1 : i + 2] == "?":
+                idx += 1
+        i += 1
+    return idx, named
+
+
+def _combined_alternation(groks: list[CompiledGrok]):
+    """Compile the whole first-match-wins pattern LIST into ONE anchored
+    alternation regex, so matching + extraction for every pattern run in
+    a single regex execution per row (the engine stops at the first
+    matching branch — grok break_on_match for free). Returns
+    ``(combined_regex, total_groups, wrapper_idx[i], cap_idx[(i, cap)])``
+    or ``None`` when ineligible:
+
+    - every pattern must be anchored (the single-pass replace+split is
+      only sound anchored — see apply_grok_jvm);
+    - no pattern may match the empty string (a matched branch is then
+      detected by its wrapper group equalling the full line, which the
+      empty match would make ambiguous with "no match").
+
+    Branch wrapper groups are named ``w<i>``; pattern-local named groups
+    are uniquified with a ``q<i>`` prefix (Java requires unique names in
+    one regex). Alternation order = list order, and Java alternation
+    prefers the leftmost matching branch, which is exactly
+    break_on_match."""
+    if len(groks) < 2 or not all(g.anchored for g in groks):
+        return None
+    bodies: list[str] = []
+    for pi, g in enumerate(groks):
+        body = g.regex[1:-1]  # strip the ^...$ wrap
+        if re.search(r"\\\d|\\k<", body):
+            return None  # backreferences would renumber — per-pattern path
+        py = re.sub(r"\(\?<([A-Za-z])", r"(?P<\1", body)
+        try:
+            if re.fullmatch(py, "") is not None:
+                return None
+        except re.error:
+            return None
+        bodies.append(re.sub(r"\(\?<([A-Za-z])", rf"(?<q{pi}\1", body))
+    combined = "^(?:" + "|".join(f"(?<w{pi}>{b})" for pi, b in enumerate(bodies)) + ")$"
+    total, named = _group_indices(combined)
+    wrapper_idx: list[int] = []
+    cap_idx: dict[tuple[int, str], int] = {}
+    for pi, g in enumerate(groks):
+        if f"w{pi}" not in named:
+            return None  # name mangling failed — use the per-pattern path
+        wrapper_idx.append(named[f"w{pi}"])
+        for sanitized, cap in g.alias.items():
+            key = f"q{pi}{sanitized}"
+            if key not in named:
+                return None
+            cap_idx[(pi, cap)] = named[key]
+    return combined, total, wrapper_idx, cap_idx
+
+
+def _all_caps_typed(groks: list[CompiledGrok]) -> dict[str, T.DataType]:
+    all_caps: dict[str, T.DataType] = {}
+    for g in groks:
+        for c in g.captures:
+            prev = all_caps.get(c)
+            if prev is not None and prev != g.types[c]:
+                raise ValueError(f"capture {c!r} has conflicting types across patterns")
+            all_caps.setdefault(c, g.types[c])
+    return all_caps
+
+
+def _apply_grok_jvm_combined(
+    df: DataFrame, text_col: str, groks: list[CompiledGrok], comb
+) -> DataFrame:
+    """Single-regex-run fast path for an anchored multi-pattern list: one
+    ``regexp_replace`` over the combined alternation rewrites the row into
+    a ``\\x01``-joined list of EVERY pattern's capture groups (the engine
+    stops at the first matching branch, so a row costs only the failed
+    prefixes plus its winner — vs. the per-pattern path's P ``rlike``
+    full runs PLUS a winner re-run). Then:
+
+    - match detection: the split count equals the combined group count
+      (a no-match replace returns the input line unchanged);
+    - winner: the branch whose wrapper slot equals the whole line
+      (non-winning branch groups substitute ``''``; a pathological
+      non-matching line containing exactly the right number of ``\\x01``
+      bytes can never have a split PIECE equal to the WHOLE line, so it
+      safely reads as no-match);
+    - rows whose captured values legitimately contain ``\\x01`` (split
+      count disagrees) fall back to per-capture ``regexp_extract`` +
+      ``rlike`` winner flags, evaluated lazily only on those rows.
+
+    '' captures become true NULLs (``nullif``), covering both empty
+    optional groups and unmatched branches — identical to the
+    per-pattern path; tests pin equivalence on all three backends."""
+    regex, total, wrapper_idx, cap_idx = comb
+    DELIM = "\x01"
+    text = F.col(text_col)
+    rep = DELIM.join(f"${i}" for i in range(1, total + 1))
+    # shuffle() on a 1-element array: the same optimizer barrier as the
+    # per-pattern path (see apply_grok_jvm) — without it the expensive
+    # extraction is inlined into every downstream consumer
+    ca_expr = F.element_at(
+        F.shuffle(F.array(F.split(F.regexp_replace(text, regex, rep), DELIM, -1))), 1
+    )
+    df = df.select("*", ca_expr.alias("_ca"))
+    ca = F.col("_ca")
+    clean = F.size(ca) == F.lit(total)
+
+    winner_cols: list[Column] = []
+    no_earlier: Column = F.lit(True)
+    for pi, g in enumerate(groks):
+        fallback = text.rlike(g.regex) & no_earlier
+        no_earlier = no_earlier & ~text.rlike(g.regex)
+        winner_cols.append(
+            F.when(clean, F.element_at(ca, wrapper_idx[pi]) == text)
+            .otherwise(fallback)
+            .alias(f"_w_{g.name}")
+        )
+    df = df.select("*", *winner_cols)
+
+    all_caps = _all_caps_typed(groks)
+    cap_cols: list[Column] = []
+    for cap, dtype in all_caps.items():
+        expr: Column = F.lit(None).cast(dtype)
+        for pi in reversed(range(len(groks))):  # earlier patterns win
+            g = groks[pi]
+            if cap not in g.captures:
+                continue
+            raw = F.when(clean, F.element_at(ca, cap_idx[(pi, cap)])).otherwise(
+                F.regexp_extract(text, g.regex, g.group_index[cap])
+            )
+            val = _cast(F.nullif(raw, F.lit("")), dtype)
+            expr = F.when(F.col(f"_w_{g.name}"), val).otherwise(expr)
+        cap_cols.append(expr.alias(cap))
+
+    matched_name = F.lit(None).cast(T.StringType())
+    for g in reversed(groks):
+        matched_name = F.when(F.col(f"_w_{g.name}"), F.lit(g.name)).otherwise(matched_name)
+
+    return df.select(
+        *[c for c in df.columns if not c.startswith("_w_") and c != "_ca"],
+        *cap_cols,
+        matched_name.alias("grok_pattern"),
+        F.when(matched_name.isNull(), F.array(F.lit("_grokparsefailure")))
+        .otherwise(F.array().cast(T.ArrayType(T.StringType())))
+        .alias("parse_tags"),
+    )
+
+
 def apply_grok_jvm(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> DataFrame:
     """First-match-wins over the pattern list; all captures become columns.
 
@@ -341,6 +509,14 @@ def apply_grok_jvm(df: DataFrame, text_col: str, groks: list[CompiledGrok]) -> D
     falls back to per-capture ``regexp_extract`` — correct on any input,
     fast on the 100%-of-real-logs path.
     """
+    comb = _combined_alternation(groks)
+    if comb is not None:
+        # anchored multi-pattern list: one combined-alternation regex run
+        # per row replaces P rlikes + a winner replace (guide §1.2 "per-
+        # task work"); ineligible lists (unanchored, empty-matchable,
+        # backreferences) keep the per-pattern path below
+        return _apply_grok_jvm_combined(df, text_col, groks, comb)
+
     DELIM = "\x01"
     text = F.col(text_col)
     match_flags = [text.rlike(g.regex).alias(f"_m_{g.name}") for g in groks]

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from logstash_filter_aggregate_spark.operators.spread import spread_input
+
 
 def normalized_text(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -107,6 +109,9 @@ def banded_signatures(
     :func:`incremental.incremental_minhash_candidates` (the persisted
     signature store)."""
     rows_per_band = num_hashes // bands
+    # shingling + K seed hashes is ~ms/row CPU: widen a one-row-group
+    # input so the signature stage uses every core (identity at scale)
+    df = spread_input(df)
     exploded = df.select(
         F.col(id_col).alias("id"), F.explode(shingle_hashes(text_col, k)).alias("s")
     )
@@ -225,7 +230,8 @@ def ngram_jaccard_pairs(
     values; at corpus scale pass e.g. ``max_df=1000`` (and expect pairs
     held together only by boilerplate shingles to drop out)."""
     sh = (
-        df.select(F.col(id_col).alias("id"), F.array_distinct(shingle_hashes(text_col, k)).alias("sh"))
+        spread_input(df)
+        .select(F.col(id_col).alias("id"), F.array_distinct(shingle_hashes(text_col, k)).alias("sh"))
         .withColumn("n_sh", F.size("sh"))
     )
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("s_hash"))
@@ -310,7 +316,7 @@ def simhash_near_dups(
     transform, ``max_bucket`` member cap with a ``truncated`` disclosure
     column — a degenerate block value (e.g. the all-zero signature of
     empty docs) stays bounded instead of going quadratic."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
+    sig = spread_input(df).select(F.col(id_col).alias("id"), simhash64(text_col).alias("sim"))
     blocks = sig.select(
         "id",
         "sim",

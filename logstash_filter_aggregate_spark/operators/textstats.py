@@ -62,6 +62,11 @@ def lang_id(col: str | Column = "text") -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / digit / stopword ratios + a composite score
     in [0,1] — the standard cheap quality filter for pretraining corpora."""
+    from logstash_filter_aggregate_spark.operators.spread import spread_input
+
+    # regex-heavy per-row stats: widen a one-row-group input so the scan
+    # stage uses every core (identity at scale)
+    df = spread_input(df)
     c = F.col(text_col)
     n_chars = F.length(c)
     toks = token_count(c)

@@ -199,7 +199,11 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the DuckDB oracle on identical inputs. ``user_id`` plays
     conv_id, ``event_type`` is embedded in a grok-able text line.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from logstash_filter_aggregate_spark.operators.spread import spread_input
+
+    # the driver's events table is one row group — widen so the grok
+    # parse stage downstream uses every core (identity at scale)
+    ev = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # turn_idx only serves as the stable tiebreak inside the engine's
     # (ts, conv_id, turn_idx) total order — event_id induces the SAME
     # order as a per-user row_number over (ts, event_id) would, without

@@ -228,3 +228,17 @@ def test_ivf_planted_copies_found_with_one_probe(spark, emb):
     # is the guarantee
     assert sorted(r.vec_id for r in got) == [0, 1000000, 1000001, 1000002]
     assert all(abs(r.cos_sim - 1.0) < 1e-6 for r in got)
+
+
+def test_spread_input_adaptive(spark):
+    """spread_input widens a below-parallelism input and is the identity
+    for an input already at/above the session parallelism."""
+    from logstash_filter_aggregate_spark.operators.spread import spread_input
+
+    small = spark.range(100).coalesce(1)
+    widened = spread_input(small)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 100
+
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 4)
+    assert spread_input(wide) is wide

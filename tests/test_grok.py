@@ -205,3 +205,56 @@ def test_common_apache_log_composite(spark):
     # pandas backend parses the same line identically
     p = apply_grok_pandas(df, "text", [g]).first()
     assert (p.clientip, p.verb, p.response, p.bytes) == (r.clientip, r.verb, r.response, r.bytes)
+
+
+def test_combined_alternation_equivalence(spark):
+    """The single-regex-run combined path (multi-pattern anchored lists)
+    must match the per-pattern path and the pandas backend row for row,
+    including the fallback rows (delimiter byte in a capture, empty text,
+    NULL text, no-match with many delimiter bytes)."""
+    from logstash_filter_aggregate_spark.functions import grok as G
+
+    groks = compile_groks()
+    assert G._combined_alternation(groks) is not None
+    rows = [
+        (0, "INFO - t1 - TASK_START - begin", 0),
+        (1, "INFO - t1 - SQL - query - 42", 0),
+        (2, "WARN - t2 - TOOL - bash - E17", 0),
+        (3, "INFO - u9 - Clicked checkout", 0),
+        (4, "garbage line", 0),
+        (5, "", 0),
+        (6, None, 0),
+        (7, "INFO - t\x013 - SQL - q - 1", 0),   # delimiter inside taskid
+        (8, "INFO - t1 - SQL - query", 0),        # optional capture absent
+        (9, "\x01\x01" * 20, 0),                  # many delimiters, no match
+    ]
+    df = make_transcript(spark, rows)
+    combined = apply_grok_jvm(df, "text", groks).toPandas().sort_values("turn_idx")
+    orig = G._combined_alternation
+    G._combined_alternation = lambda g: None
+    try:
+        legacy = apply_grok_jvm(df, "text", groks).toPandas().sort_values("turn_idx")
+    finally:
+        G._combined_alternation = orig
+    pandas_b = apply_grok_pandas(df, "text", groks).toPandas().sort_values("turn_idx")
+
+    def canon(d):
+        d = d[sorted(d.columns)]
+        return [tuple(str(v) for v in r) for r in d.itertuples(index=False)]
+
+    assert canon(combined) == canon(legacy)
+    assert canon(combined) == canon(pandas_b)
+
+
+def test_combined_alternation_ineligible_lists():
+    """Unanchored patterns, empty-matchable patterns and backreferences
+    must decline the combined path (they fall back per-pattern)."""
+    from logstash_filter_aggregate_spark.functions import grok as G
+
+    anchored = compile_grok("a", r"%{INT:x}")
+    unanchored = compile_grok("u", r"%{INT:y}", anchored=False)
+    empty_ok = compile_grok("e", r"%{DATA:z}")  # matches ""
+    assert G._combined_alternation([anchored]) is None          # single pattern
+    assert G._combined_alternation([anchored, unanchored]) is None
+    assert G._combined_alternation([anchored, empty_ok]) is None
+    assert G._combined_alternation([anchored, compile_grok("b", r"%{WORD:w}")]) is not None
