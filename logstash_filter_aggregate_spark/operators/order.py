@@ -69,7 +69,18 @@ def with_global_index(
     for r in stats:
         rows.append((r._pid, acc, r.m0))
         acc += r.n
-    off = spark.createDataFrame(rows, "_pid int, _off long, _m0 long")
+    # JVM LocalRelation via VALUES, NOT createDataFrame(list): the latter
+    # parallelizes a pickled Python RDD whose execution forks one Python
+    # worker PER TASK SLOT — measured as ~7s of zero-CPU blocked tasks on
+    # a cold 32-core session just to materialize these few stats rows
+    values = ", ".join(f"({int(p)}, {int(o)}L, {int(m)}L)" for p, o, m in rows) or "(0, 0L, 0L)"
+    off = spark.sql(
+        f"SELECT col1 AS _pid, col2 AS _off, col3 AS _m0 FROM VALUES {values}"
+    ).select(
+        F.col("_pid").cast("int"), F.col("_off").cast("long"), F.col("_m0").cast("long")
+    )
+    if not rows:
+        off = off.where(F.lit(False))
     return (
         part.join(F.broadcast(off), "_pid")
         .withColumn(col, F.col("_off") + (F.col("_mono") - F.col("_m0")))

@@ -57,6 +57,20 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     ).cast("int")
     part = part.withColumn("_close_flag", close_flag)
 
+    if cfg.exact_age_cap and cfg.timeout_timestamp_field is not None:
+        # Window-free exact path: the per-task scan sorts its group in
+        # pandas anyway and its session-hop subsumes every split, so the
+        # pre-scan JVM window pass is pure waste — `_gap_seg` was
+        # computed and then ZEROED by the scan, and `_ord`/`_end_seg`
+        # are one arange/cumsum on the scan's own sorted arrays. Removing
+        # it drops the window sort + window eval of the whole event
+        # stream from the (single-task-per-hot-task) stage; the one
+        # exchange the stage needs now comes from the applyInPandas
+        # grouping itself. (push_previous_exact+exact_age_cap is
+        # rejected by config validation, and processing-time mode never
+        # reaches exact mode, so no run-break/proc-time interplay here.)
+        return _exact_age_seg(part, cfg)
+
     if cfg.push_previous_exact:
         # exact interleaved push_previous (O16 strict mode): a map also
         # dies when ANOTHER task's event arrives between two of its own —
@@ -124,8 +138,6 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if run_break is not None:
         part = part.drop("_gidx")
 
-    if cfg.exact_age_cap:
-        return _exact_age_seg(part, cfg)
     return _window_age_seg(part, cfg, passes=2)
 
 
@@ -205,18 +217,34 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     timeout = float(cfg.timeout)
     inactivity = float(cfg.effective_inactivity_timeout)
-    out_schema = part.withColumn("_age_seg", F.lit(0).cast("int")).schema
+    out_schema = part.withColumns(
+        {
+            ORDER_COL: F.lit(0).cast("int"),
+            "_end_seg": F.lit(0).cast("int"),
+            "_gap_seg": F.lit(0).cast("int"),
+            "_age_seg": F.lit(0).cast("int"),
+        }
+    ).schema
     has_seed_cols = "_seed_creation_ts" in part.columns
 
     import numpy as np
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort_values returns a fresh frame — safe to assign columns on
+        # directly (the former extra .copy() doubled the group's memory
+        # traffic for nothing)
         pdf = pdf.sort_values(["ts", "conv_id", "turn_idx"], kind="mergesort")
         ts = pdf["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
-        end_seg = pdf["_end_seg"].to_numpy()
+        n = len(pdf)
+        # _ord / _end_seg on the scan's own sorted arrays (same task-local
+        # total order the window pass produced): row number, and the count
+        # of close rows strictly before me
+        close = pdf["_close_flag"].to_numpy(dtype="int64", na_value=0)
+        end_seg = np.zeros(n, dtype="int64")
+        if n > 1:
+            np.cumsum(close[:-1], out=end_seg[1:])
         cust_to = pdf["_custom_timeout"].to_numpy(dtype="float64", na_value=np.nan)
         cust_in = pdf["_custom_inactivity"].to_numpy(dtype="float64", na_value=np.nan)
-        n = len(pdf)
         age = np.zeros(n, dtype="int32")
         action = pdf["_action"].to_numpy() if "_action" in pdf.columns else None
         seed_creation = None
@@ -256,11 +284,12 @@ def _exact_age_seg(part: DataFrame, cfg: PipelineConfig) -> DataFrame:
                     ts, end_seg, action, cust_to, cust_in, seed_creation, age,
                     timeout, inactivity,
                 )
-        pdf = pdf.copy()
+        pdf[ORDER_COL] = np.arange(1, n + 1, dtype="int32")
+        pdf["_end_seg"] = end_seg.astype("int32")
         # exact mode folds gap splits into _age_seg; zero _gap_seg so the
         # aggregate stage's (end, gap, age) grouping key stays uniform
-        pdf["_gap_seg"] = pd.array([0] * n, dtype="int32")
-        pdf["_age_seg"] = pd.array(age, dtype="int32")
+        pdf["_gap_seg"] = np.zeros(n, dtype="int32")
+        pdf["_age_seg"] = age
         return pdf
 
     return part.groupBy(TASK_ID_COL).applyInPandas(scan, schema=out_schema)
