@@ -199,11 +199,12 @@ def events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the DuckDB oracle on identical inputs. ``user_id`` plays
     conv_id, ``event_type`` is embedded in a grok-able text line.
     """
-    from logstash_filter_aggregate_spark.operators.spread import spread_input
-
-    # the driver's events table is one row group — widen so the grok
-    # parse stage downstream uses every core (identity at scale)
-    ev = spread_input(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # NOT spread_input-widened: measured at sf0.1/local[32], widening this
+    # one-row-group scan costs more in exchange + extra AQE stage than the
+    # ~0.4s single-core parse it parallelizes (events_gap 2.4-2.7s ->
+    # 3.0-3.5s with widening; o16 a wash) — unlike the dedup/textstats
+    # operators, whose per-row compute dominates by orders of magnitude
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     # turn_idx only serves as the stable tiebreak inside the engine's
     # (ts, conv_id, turn_idx) total order — event_id induces the SAME
     # order as a per-user row_number over (ts, event_id) would, without
