@@ -258,16 +258,46 @@ def passthrough_shared_subtree(
 
     ck = classified.drop(*heavy).localCheckpoint(eager=False)
     correlated_in = inject_seeds(narrow_for_correlation(ck, cfg), open_maps, cfg)
-    guarded = apply_guards(sessionize(correlated_in, cfg), cfg)
     if gated_cancel:
         # cancellation needs per-row inclusion for EVERY matched row of
         # the gated rules (not just the rare null ones) — a row-key join,
         # both sides reading the checkpointed blocks
+        guarded = apply_guards(sessionize(correlated_in, cfg), cfg)
         incl_df = guarded.where(F.col("_rule_id").isin(gated_ids)).select(
             "conv_id", "turn_idx", F.col("_included").alias("_g_included")
         )
         pt = passthrough_stream(ck, cfg, incl_df=incl_df)
     else:
+        # The tagged-keys build side only needs `_included` for rows of
+        # gated rules whose REQUIRED agg input is NULL — literally the
+        # exceptions. Guard inclusion is a pure per-task property (every
+        # window partitions by the task key), so the correlation subtree
+        # can be pruned to the tasks CONTAINING a candidate row with a
+        # broadcast semi-join BEFORE its exchange (guide §3.2 shape):
+        # the guard-resolution exchange+sort then carries ~the candidate
+        # tasks' rows instead of the whole event stream. Results are
+        # identical — pruned-away tasks could never contribute a key.
+        from logstash_filter_aggregate_spark.config import KIND_COL, TASK_ID_COL
+        from logstash_filter_aggregate_spark.operators.correlate import value_col_name
+
+        cand = F.lit(False)
+        for r in cfg.rules:
+            if r.map_action == "create_or_update":
+                continue
+            req = [s for s in r.aggs if s.required and s.col]
+            if not req:
+                continue
+            nulls = F.lit(False)
+            for s in req:
+                nulls = nulls | F.col(value_col_name(r.rule_id, s.col)).isNull()
+            cand = cand | ((F.col(KIND_COL) == r.rule_id) & nulls)
+        cand_tasks = (
+            correlated_in.where(F.col(TASK_ID_COL).isNotNull() & cand)
+            .select(TASK_ID_COL)
+            .distinct()
+        )
+        pruned = correlated_in.join(F.broadcast(cand_tasks), TASK_ID_COL, "left_semi")
+        guarded = apply_guards(sessionize(pruned, cfg), cfg)
         tagged_df = tagged_exception_keys(guarded, cfg)
         pt = passthrough_stream(ck, cfg, tagged_df=tagged_df)
     if heavy:
