@@ -56,10 +56,10 @@ def brute_force_topk(
     embarrassingly parallel; the only cross-partition step is the global
     top-k, which Spark's TakeOrdered runs as per-partition top-k + merge
     (no full sort, no shuffle of the data)."""
-    from logstash_filter_aggregate_spark.operators.spread import spread_input
-
+    # NOT spread_input-widened: the per-row dot product is light enough
+    # that the widening exchange costs more than it saves (bench runs
+    # 0.52-0.55s unwidened vs 0.74-0.78s widened, 3 cold samples each)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    df = spread_input(df)  # widen a one-row-group input (identity at scale)
     scored = df.select(
         F.col(id_col),
         cosine(F.col(vec_col), q).alias("cos_sim"),
