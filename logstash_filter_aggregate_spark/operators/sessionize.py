@@ -52,9 +52,19 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
         F.col(TASK_ID_COL).isNotNull() & F.col("_rule_id").isNotNull()
     )
 
+    # statically no rule can close a map (no end_of_task rows, no
+    # custom_timeout expression that could evaluate to 0): _close_flag
+    # and _end_seg are provably constant 0 — skip their running-sum
+    # window and drop _end_seg from every lag check downstream (the
+    # docs-example-#3 shape: click counting with timeout push)
+    no_closes = not any(r.end_of_task for r in cfg.rules) and all(
+        r.custom_timeout is None for r in cfg.rules
+    )
     close_flag = (
-        (F.col("_end_flag") == 1) | (F.col("_custom_timeout") == 0.0)
-    ).cast("int")
+        F.lit(0)
+        if no_closes
+        else ((F.col("_end_flag") == 1) | (F.col("_custom_timeout") == 0.0)).cast("int")
+    )
     part = part.withColumn("_close_flag", close_flag)
 
     if cfg.exact_age_cap and cfg.timeout_timestamp_field is not None:
@@ -86,7 +96,9 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # segment splits AFTER a close row: count closes strictly before me
     part = part.withColumn(
         "_end_seg",
-        F.coalesce(
+        F.lit(0)
+        if no_closes
+        else F.coalesce(
             F.sum("_close_flag").over(w.rowsBetween(W.unboundedPreceding, -1)),
             F.lit(0),
         ).cast("int"),
@@ -121,10 +133,14 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
         )
     else:
         eff_last = ts_sec
-    same_end = F.lag("_end_seg").over(w) == F.col("_end_seg")
-    gap_flag = (
-        same_end & (ts_sec - F.lag(eff_last).over(w) > F.lit(inactivity))
-    ).cast("int")
+    gap_core = ts_sec - F.lag(eff_last).over(w) > F.lit(inactivity)
+    if no_closes:
+        # _end_seg is constant 0: same-segment is trivially true, and the
+        # first row's lag(eff_last) NULL already nulls the comparison
+        gap_flag = gap_core.cast("int")
+    else:
+        same_end = F.lag("_end_seg").over(w) == F.col("_end_seg")
+        gap_flag = (same_end & gap_core).cast("int")
     if run_break is not None:
         # a push_previous run break pops the map exactly like
         # expiry-on-arrival — fold it into the gap split
@@ -138,20 +154,30 @@ def sessionize(classified: DataFrame, cfg: PipelineConfig) -> DataFrame:
     if run_break is not None:
         part = part.drop("_gidx")
 
-    return _window_age_seg(part, cfg, passes=2)
+    return _window_age_seg(part, cfg, passes=2, no_closes=no_closes)
 
 
-def seg_start_flag() -> Column:
+def seg_start_flag(with_end_seg: bool = True, with_age_seg: bool = True) -> Column:
     """True on the first row of a (end, gap, age) segment — lag-based, so
-    it stays on the single task-partition window."""
+    it stays on the single task-partition window. Callers that can prove
+    a component constant (``_end_seg`` when no rule closes, ``_age_seg``
+    on the first age pass) drop its lag from the check — each flag saves
+    one window-function evaluation per row."""
     w = _w()
-    changed = F.lag("_end_seg").over(w).isNull()  # first row of the task
-    for c in ("_end_seg", "_gap_seg", "_age_seg"):
+    cols = ["_gap_seg"]
+    if with_end_seg:
+        cols.insert(0, "_end_seg")
+    if with_age_seg:
+        cols.append("_age_seg")
+    changed = F.lag(cols[0]).over(w).isNull()  # first row of the task
+    for c in cols:
         changed = changed | (F.lag(c).over(w) != F.col(c))
     return changed
 
 
-def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFrame:
+def _window_age_seg(
+    part: DataFrame, cfg: PipelineConfig, passes: int, no_closes: bool = False
+) -> DataFrame:
     """Iterated suffix split: within a segment ``ts - creation > timeout``
     is monotone in the row order, so each pass moves the crossed suffix
     into a new generation; pass *p* is exact when a segment age-splits at
@@ -172,8 +198,10 @@ def _window_age_seg(part: DataFrame, cfg: PipelineConfig, passes: int) -> DataFr
     else:
         creation_src = ts_sec
     part = part.withColumn("_age_seg", F.lit(0))
-    for _ in range(passes):
-        grp_start = seg_start_flag()
+    for p in range(passes):
+        # pass 0 sees the constant initial _age_seg — skip its lag; and
+        # with no closing rules _end_seg is constant 0 in every pass
+        grp_start = seg_start_flag(with_end_seg=not no_closes, with_age_seg=p > 0)
         creation = _running(
             F.max(F.when(grp_start, F.struct(F.col(ORDER_COL).alias("o"), creation_src.alias("t"))))
         )["t"]
